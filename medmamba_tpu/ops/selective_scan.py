@@ -1,0 +1,208 @@
+"""S6 selective-scan primitives, TPU-native.
+
+The reference links the CUDA op ``mamba_ssm.ops.selective_scan_interface.selective_scan_fn``
+(imported at ``MedMamba.py:12``, invoked at ``MedMamba.py:273-279``).  Its call-site
+semantics there are:
+
+    u:      (B, KD, L)  float32
+    delta:  (B, KD, L)  float32 (pre-bias, pre-softplus)
+    A:      (KD, N)     float32, = -exp(A_logs)
+    B, C:   (B, K, N, L) float32  -- *grouped*: channel d uses group g = d // (KD // K)
+    D:      (KD,)       float32 skip connection
+    delta_bias: (KD,)   float32, delta_softplus=True
+
+and the recurrence (per batch, channel d, state n):
+
+    delta'_t = softplus(delta_t + delta_bias)
+    h_t      = exp(delta'_t * A) * h_{t-1} + (delta'_t * B_t) * u_t
+    y_t      = sum_n C_t[n] * h_t[n] + D * u_t
+
+This module provides three interchangeable implementations:
+
+* ``selective_scan_seq``   -- ``lax.scan`` over L (the numerical reference; O(L) depth).
+* ``selective_scan_assoc`` -- ``lax.associative_scan`` over L (O(log L) depth, pure XLA).
+* ``selective_scan``       -- public entry point; dispatches to the fused Pallas kernel
+                              on TPU (see ``pallas_scan.py``) and to ``assoc`` elsewhere.
+
+All implementations compute in float32 regardless of input dtype, matching the
+reference's forced-fp32 scan core (``MedMamba.py:265-271``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _prepare(u, delta, A, B, C, D, delta_bias, delta_softplus):
+    """Common fp32 promotion + delta bias/softplus + group expansion.
+
+    Returns (dA_exp-ready pieces): delta' (B,D,L), Bg/Cg expanded to per-channel
+    group view (B, G, N, L) kept grouped -- expansion happens lazily in each impl.
+    """
+    u = u.astype(jnp.float32)
+    delta = delta.astype(jnp.float32)
+    A = A.astype(jnp.float32)
+    B = B.astype(jnp.float32)
+    C = C.astype(jnp.float32)
+    if delta_bias is not None:
+        delta = delta + delta_bias.astype(jnp.float32)[None, :, None]
+    if delta_softplus:
+        delta = jax.nn.softplus(delta)
+    if D is not None:
+        D = D.astype(jnp.float32)
+    return u, delta, A, B, C, D
+
+
+def _group_view(x, dim, n_groups):
+    """(B, G, N, L) -> (B, G, D//G, N, L)-broadcastable view helper."""
+    # callers reshape channel axes; this is a no-op marker for readability
+    return x
+
+
+def selective_scan_seq(
+    u: jax.Array,
+    delta: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    C: jax.Array,
+    D: Optional[jax.Array] = None,
+    delta_bias: Optional[jax.Array] = None,
+    delta_softplus: bool = False,
+    return_last_state: bool = False,
+):
+    """Sequential ``lax.scan`` implementation (numerical ground truth).
+
+    Shapes as in module docstring. Returns y (B, D, L) float32
+    (and optionally the final state (B, D, N)).
+    """
+    u, delta, A, Bm, Cm, D = _prepare(u, delta, A, B, C, D, delta_bias, delta_softplus)
+    b, d, l = u.shape
+    n = A.shape[1]
+    g = Bm.shape[1]
+    dpg = d // g
+
+    # (B, D, L, N) pieces, computed lazily inside scan to bound memory:
+    # carry h: (B, D, N)
+    def step(h, inputs):
+        u_t, dt_t, B_t, C_t = inputs  # (B,D), (B,D), (B,G,N), (B,G,N)
+        dA = jnp.exp(dt_t[..., None] * A)  # (B, D, N)
+        Bx = B_t[:, :, None, :]  # (B, G, 1, N)
+        Bx = jnp.broadcast_to(Bx, (b, g, dpg, n)).reshape(b, d, n)
+        h = dA * h + (dt_t * u_t)[..., None] * Bx
+        Cx = C_t[:, :, None, :]
+        Cx = jnp.broadcast_to(Cx, (b, g, dpg, n)).reshape(b, d, n)
+        y_t = jnp.sum(h * Cx, axis=-1)  # (B, D)
+        return h, y_t
+
+    h0 = jnp.zeros((b, d, n), jnp.float32)
+    xs = (
+        jnp.moveaxis(u, -1, 0),  # (L, B, D)
+        jnp.moveaxis(delta, -1, 0),
+        jnp.moveaxis(Bm, -1, 0),  # (L, B, G, N)
+        jnp.moveaxis(Cm, -1, 0),
+    )
+    h_last, ys = jax.lax.scan(step, h0, xs)
+    y = jnp.moveaxis(ys, 0, -1)  # (B, D, L)
+    if D is not None:
+        y = y + u * D[None, :, None]
+    if return_last_state:
+        return y, h_last
+    return y
+
+
+def _assoc_combine(e1, e2):
+    """First-order linear recurrence combine: (a1,b1) o (a2,b2) = (a1*a2, a2*b1+b2)."""
+    a1, b1 = e1
+    a2, b2 = e2
+    return a1 * a2, a2 * b1 + b2
+
+
+def selective_scan_assoc(
+    u: jax.Array,
+    delta: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    C: jax.Array,
+    D: Optional[jax.Array] = None,
+    delta_bias: Optional[jax.Array] = None,
+    delta_softplus: bool = False,
+    return_last_state: bool = False,
+):
+    """``lax.associative_scan`` implementation: O(log L) depth, fully parallel over L.
+
+    Materializes (B, D, L, N) decay/input tensors; intended for moderate sizes and
+    as the non-TPU fallback. The Pallas kernel is the production path.
+    """
+    u, delta, A, Bm, Cm, D = _prepare(u, delta, A, B, C, D, delta_bias, delta_softplus)
+    b, d, l = u.shape
+    n = A.shape[1]
+    g = Bm.shape[1]
+    dpg = d // g
+
+    dA = jnp.exp(delta[..., None] * A[None, :, None, :])  # (B, D, L, N)
+    Bx = jnp.moveaxis(Bm, -1, 2)  # (B, G, L, N)
+    Bx = jnp.broadcast_to(Bx[:, :, None], (b, g, dpg, l, n)).reshape(b, d, l, n)
+    dBu = (delta * u)[..., None] * Bx  # (B, D, L, N)
+
+    _, h = jax.lax.associative_scan(_assoc_combine, (dA, dBu), axis=2)
+    Cx = jnp.moveaxis(Cm, -1, 2)
+    Cx = jnp.broadcast_to(Cx[:, :, None], (b, g, dpg, l, n)).reshape(b, d, l, n)
+    y = jnp.sum(h * Cx, axis=-1)  # (B, D, L)
+    if D is not None:
+        y = y + u * D[None, :, None]
+    if return_last_state:
+        return y, h[:, :, -1]
+    return y
+
+
+IMPLS = {
+    "seq": selective_scan_seq,
+    "assoc": selective_scan_assoc,
+}
+
+
+def selective_scan(
+    u: jax.Array,
+    delta: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    C: jax.Array,
+    D: Optional[jax.Array] = None,
+    delta_bias: Optional[jax.Array] = None,
+    delta_softplus: bool = False,
+    return_last_state: bool = False,
+    impl: str = "auto",
+):
+    """Public selective scan with the reference call-site contract (MedMamba.py:273-279).
+
+    impl: "auto" | "pallas" | "assoc" | "seq".
+    "auto" picks the fused Pallas kernel on TPU backends, "assoc" otherwise.
+    """
+    if impl == "auto":
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        impl = "pallas" if on_tpu else "assoc"
+    if impl == "pallas":
+        try:
+            from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+        except ImportError:
+            impl = "assoc"
+    if impl == "pallas":
+        return selective_scan_pallas(
+            u, delta, A, B, C, D,
+            delta_bias=delta_bias,
+            delta_softplus=delta_softplus,
+            return_last_state=return_last_state,
+        )
+    fn = IMPLS[impl]
+    return fn(
+        u, delta, A, B, C, D,
+        delta_bias=delta_bias,
+        delta_softplus=delta_softplus,
+        return_last_state=return_last_state,
+    )

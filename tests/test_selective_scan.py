@@ -1,0 +1,83 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from medmamba_tpu.ops.selective_scan import selective_scan, selective_scan_assoc, selective_scan_seq
+from medmamba_tpu.ops.cross_scan import cross_scan, cross_merge
+from tests.oracle import selective_scan_oracle, cross_scan_oracle
+
+
+def _make_inputs(rng, b=2, d=8, n=4, l=33, g=4, dtype=np.float32):
+    u = rng.standard_normal((b, d, l)).astype(dtype)
+    delta = (0.3 * rng.standard_normal((b, d, l))).astype(dtype)
+    A = -np.exp(rng.standard_normal((d, n)).astype(dtype) * 0.5)
+    B = rng.standard_normal((b, g, n, l)).astype(dtype)
+    C = rng.standard_normal((b, g, n, l)).astype(dtype)
+    D = rng.standard_normal((d,)).astype(dtype)
+    bias = (0.1 * rng.standard_normal((d,))).astype(dtype)
+    return u, delta, A, B, C, D, bias
+
+
+@pytest.mark.parametrize("impl", ["seq", "assoc"])
+@pytest.mark.parametrize("g,l", [(4, 33), (1, 49), (4, 64)])
+def test_scan_matches_oracle(impl, g, l):
+    rng = np.random.default_rng(0)
+    u, delta, A, B, C, D, bias = _make_inputs(rng, g=g, l=l)
+    y_ref = selective_scan_oracle(u, delta, A, B, C, D, bias, delta_softplus=True)
+    y = selective_scan(u, delta, A, B, C, D, delta_bias=bias, delta_softplus=True, impl=impl)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_scan_no_bias_no_softplus_no_D():
+    rng = np.random.default_rng(1)
+    u, delta, A, B, C, _, _ = _make_inputs(rng)
+    delta = np.abs(delta) + 1e-2  # keep positive when not softplussed
+    y_ref = selective_scan_oracle(u, delta, A, B, C)
+    for impl in ("seq", "assoc"):
+        y = selective_scan(u, delta, A, B, C, impl=impl)
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_scan_last_state():
+    rng = np.random.default_rng(2)
+    u, delta, A, B, C, D, bias = _make_inputs(rng, l=17)
+    y1, h1 = selective_scan_seq(u, delta, A, B, C, D, bias, True, return_last_state=True)
+    y2, h2 = selective_scan_assoc(u, delta, A, B, C, D, bias, True, return_last_state=True)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-4, atol=1e-5)
+
+
+def test_scan_gradients_agree():
+    rng = np.random.default_rng(3)
+    u, delta, A, B, C, D, bias = _make_inputs(rng, b=1, d=4, l=19)
+
+    def loss(impl):
+        def f(args):
+            u_, dt_, A_, B_, C_, D_, bias_ = args
+            y = selective_scan(u_, dt_, A_, B_, C_, D_, delta_bias=bias_,
+                               delta_softplus=True, impl=impl)
+            return jnp.sum(y * y)
+        return f
+
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    g_seq = jax.grad(loss("seq"))(args)
+    g_assoc = jax.grad(loss("assoc"))(args)
+    for gs, ga in zip(g_seq, g_assoc):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(ga), rtol=2e-3, atol=2e-4)
+
+
+def test_cross_scan_matches_oracle():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 5, 7, 3)).astype(np.float32)
+    xs = np.asarray(cross_scan(jnp.asarray(x)))
+    np.testing.assert_array_equal(xs, cross_scan_oracle(x))
+
+
+def test_cross_merge_roundtrip():
+    """cross_merge(cross_scan(x)) must equal 4*x flattened row-major."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 6, 4, 3)).astype(np.float32)
+    xs = cross_scan(jnp.asarray(x))
+    merged = cross_merge(xs, h=6, w=4)
+    expected = 4.0 * np.transpose(x, (0, 3, 1, 2)).reshape(2, 3, 24)
+    np.testing.assert_allclose(np.asarray(merged), expected, rtol=1e-6, atol=1e-6)
