@@ -1,0 +1,70 @@
+"""Benchmark: medmamba_t training throughput at 224x224 (images/sec/chip).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). We use an
+estimated A100 CUDA baseline for the reference implementation of 700 img/s
+(train, batch 64, fp32 selective-scan core + TF32 convs; derived from the
+reference's analytic scan FLOPs ~0.9 GFLOP/img + ~2.5 GFLOP/img conv/matmul,
+x3 for bwd, at ~35% A100 utilization with the memory-bound CUDA scan kernel --
+the 'A100 CUDA baseline' called for in BASELINE.json, stated explicitly since it
+must be estimated).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+A100_BASELINE_IMG_PER_SEC = 700.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from medmamba_tpu.models.registry import create_model
+    from medmamba_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from medmamba_tpu.train.trainer import init_state, make_optimizer, train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+
+    model = create_model("T", num_classes=9, dtype=jnp.bfloat16)
+    tx = make_optimizer(1e-3, npz_mode=True)
+    state = init_state(model, jax.random.key(0), tx)
+    mesh = make_mesh()
+    state = replicate_state(state, mesh)
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8)
+    labels = rng.integers(0, 9, (batch,), dtype=np.int64)
+    images, labels = shard_batch(mesh, images, labels)
+    key = jax.random.key(1)
+
+    for _ in range(warmup):
+        state, loss = train_step(state, images, labels, key, augment=True)
+    jax.block_until_ready((state.params, loss))
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = train_step(state, images, labels, key, augment=True)
+    jax.block_until_ready((state.params, loss))
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    ips_per_chip = steps * batch / dt / n_chips
+    print(json.dumps({
+        "metric": "images/sec/chip, medmamba_t train 224x224 bf16",
+        "value": round(ips_per_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(ips_per_chip / A100_BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

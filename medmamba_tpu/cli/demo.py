@@ -1,0 +1,162 @@
+"""Inference demo server -- capability parity with ``app_streamlit_demo.py``.
+
+The reference ships a Streamlit app (load checkpoint -> predict single image ->
+Grad-CAM overlay with a selectable target class, app_streamlit_demo.py:166-484).
+Streamlit is not part of this image, so the demo is a dependency-free stdlib HTTP
+server exposing the same workflow: upload an image, get class probabilities and a
+Grad-CAM overlay (target = predicted class or a manual index).
+
+Usage:
+    python -m medmamba_tpu.cli.demo --checkpoint_path CKPT --medmb_size T \
+        [--num_classes N --port 8501]
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+PAGE = """<!doctype html><html><head><title>MedMamba TPU demo</title>
+<style>body{{font-family:sans-serif;max-width:720px;margin:2em auto}}
+img{{max-width:320px;margin:4px;border-radius:6px}}
+table{{border-collapse:collapse}} td,th{{padding:4px 10px;border:1px solid #ccc}}
+</style></head><body>
+<h2>MedMamba (TPU-native) inference demo</h2>
+<form method="post" enctype="multipart/form-data">
+<p><input type="file" name="image" accept="image/*" required>
+Target class (-1 = predicted): <input type="number" name="target" value="-1" style="width:5em">
+<button type="submit">Predict</button></p></form>
+{result}
+</body></html>"""
+
+
+def build_app(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from medmamba_tpu.data.transforms import preprocess
+    from medmamba_tpu.eval.gradcam import grad_cam, show_cam_on_image
+    from medmamba_tpu.models.registry import create_model
+    from medmamba_tpu.train.checkpoint import restore_params
+
+    tree, meta = restore_params(args.checkpoint_path)
+    num_classes = args.num_classes or meta.get("num_classes")
+    class_indices = meta.get("class_indices") or {}
+    idx_to_name = {int(v): str(k) for k, v in class_indices.items()} \
+        if class_indices else {}
+    model = create_model(args.medmb_size, num_classes)
+    variables = {"params": tree["params"],
+                 "batch_stats": tree.get("batch_stats", {})}
+
+    def infer(img_bytes: bytes, target: int):
+        img = Image.open(io.BytesIO(img_bytes)).convert("RGB").resize(
+            (args.image_size, args.image_size), Image.BILINEAR)
+        arr = np.asarray(img, np.uint8)[None]
+        x = preprocess(jax.random.key(0), jnp.asarray(arr),
+                       size=args.image_size, augment=False)
+        probs = np.asarray(
+            jax.nn.softmax(model.apply(variables, x, True), -1))[0]
+        pred = int(probs.argmax())
+        tc = pred if target < 0 else int(target)
+        cam = grad_cam(model, variables, x, target_class=np.array([tc]))[0]
+        overlay = show_cam_on_image(np.asarray(img, np.float32) / 255.0, cam)
+        return img, overlay, probs, pred, tc
+
+    def render(img, overlay, probs, pred, tc):
+        def b64(pil_or_arr):
+            from PIL import Image as I
+            im = pil_or_arr if hasattr(pil_or_arr, "save") \
+                else I.fromarray(pil_or_arr)
+            buf = io.BytesIO()
+            im.save(buf, "PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        name = idx_to_name.get(pred, str(pred))
+        rows = "".join(
+            f"<tr><td>{idx_to_name.get(i, i)}</td><td>{p:.4f}</td></tr>"
+            for i, p in enumerate(probs))
+        return (f"<h3>Prediction: {name} ({probs[pred]:.3f})"
+                f" &mdash; Grad-CAM target: {idx_to_name.get(tc, tc)}</h3>"
+                f'<img src="data:image/png;base64,{b64(img)}">'
+                f'<img src="data:image/png;base64,{b64(overlay)}">'
+                f"<table><tr><th>class</th><th>prob</th></tr>{rows}</table>")
+
+    return infer, render
+
+
+def _parse_multipart(body: bytes, content_type: str):
+    """Minimal multipart/form-data parser (the stdlib cgi module is gone in 3.12).
+
+    Returns (image_bytes, target_int)."""
+    import re
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("not multipart/form-data")
+    boundary = m.group(1).encode()
+    image, target = None, -1
+    for part in body.split(b"--" + boundary):
+        if b"\r\n\r\n" not in part:
+            continue
+        head, _, payload = part.partition(b"\r\n\r\n")
+        payload = payload.rstrip(b"\r\n-")
+        head_l = head.decode(errors="replace").lower()
+        if 'name="image"' in head_l:
+            image = payload
+        elif 'name="target"' in head_l:
+            try:
+                target = int(payload.decode().strip() or "-1")
+            except ValueError:
+                target = -1
+    if image is None:
+        raise ValueError("no image field in form")
+    return image, target
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--medmb_size", default="T", choices=["T", "S", "B", "Te"])
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--port", type=int, default=8501)
+    args = p.parse_args(argv)
+
+    infer, render = build_app(args)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, html, code=200):
+            body = html.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            self._send(PAGE.format(result=""))
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            data, target = _parse_multipart(
+                body, self.headers.get("Content-Type", ""))
+            try:
+                out = render(*infer(data, target))
+            except Exception as e:  # surface errors in the page
+                out = f"<p style='color:red'>error: {e}</p>"
+            self._send(PAGE.format(result=out))
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("0.0.0.0", args.port), Handler)
+    print(f"MedMamba demo listening on http://localhost:{args.port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

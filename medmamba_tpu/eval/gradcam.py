@@ -1,0 +1,133 @@
+"""Grad-CAM for the JAX VSSM (functional; no hook machinery).
+
+Parity with the reference Grad-CAM stack (grad_cam/utils.py:52-175 + test.py:99-121):
+  * target layer defaults to the last Conv1x1 of the conv branch in the last block
+    of the last stage -- the analogue of
+    ``net.layers[-1].blocks[-1].conv33conv33conv11[-2]`` (test.py:101);
+  * weights = gradient mean over (H, W); cam = ReLU(sum_c w_c * act_c);
+    per-image min-max rescale and bilinear resize to the input size
+    (grad_cam/utils.py:71-129);
+  * loss = sum of the target-class logits over the batch (grad_cam/utils.py:76-80).
+
+Instead of forward/backward hooks we use ``flax.linen.intercept_methods`` to add a
+zero perturbation to the target module's output; the activation is captured during
+the same trace and the gradient w.r.t. the perturbation equals the gradient w.r.t.
+the activation.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+
+def default_target_path(model) -> Tuple[str, ...]:
+    """layers[-1].blocks[-1].conv1x1 (cf. test.py:101)."""
+    n_stages = len(model.depths)
+    last_block = model.depths[-1] - 1
+    return (f"layers_{n_stages - 1}", f"blocks_{last_block}", "conv1x1")
+
+
+def grad_cam(model, variables, images: jnp.ndarray,
+             target_class: Optional[jnp.ndarray] = None,
+             target_path: Optional[Sequence[str]] = None,
+             reshape_transform=None) -> np.ndarray:
+    """Compute Grad-CAM heatmaps.
+
+    images: preprocessed float NHWC batch. target_class: int array (B,) or None
+    (use predicted class, like test.py:121). reshape_transform maps a
+    token-shaped activation to NHWC (the analogue of the reference's
+    reshape_transform for ViT/Swin, grad_cam/main_vit.py:11-30).
+    Returns (B, H, W) float32 in [0, 1].
+    """
+    target_path = tuple(target_path or default_target_path(model))
+    b, h_in, w_in, _ = images.shape
+
+    logits0 = model.apply(variables, images, True)
+    if target_class is None:
+        target_class = jnp.argmax(logits0, axis=-1)
+    target_class = jnp.asarray(target_class)
+
+    # First pass: discover the target activation (value + shape).
+    act_cell = {}
+
+    def capture(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        if context.module.path == target_path:
+            act_cell["act"] = out
+        return out
+
+    with nn.intercept_methods(capture):
+        model.apply(variables, images, True)
+    if "act" not in act_cell:
+        raise ValueError(f"target path {target_path} not found in model")
+    act = act_cell["act"]
+
+    # Second pass: gradient w.r.t. a zero perturbation added at the target output.
+    def loss_fn(delta):
+        cell = {}
+
+        def inject(next_fn, args, kwargs, context):
+            out = next_fn(*args, **kwargs)
+            if context.module.path == target_path:
+                out = out + delta
+                cell["act"] = out
+            return out
+
+        with nn.intercept_methods(inject):
+            logits = model.apply(variables, images, True)
+        loss = jnp.sum(jnp.take_along_axis(
+            logits, target_class[:, None], axis=-1))
+        return loss, cell["act"]
+
+    grads, act = jax.grad(loss_fn, has_aux=True)(jnp.zeros_like(act))
+
+    if reshape_transform is not None:
+        grads = reshape_transform(grads)
+        act = reshape_transform(act)
+
+    weights = jnp.mean(grads, axis=(1, 2), keepdims=True)        # (B,1,1,C)
+    cam = jnp.maximum(jnp.sum(weights * act, axis=-1), 0.0)      # (B,h,w)
+    cam = jax.image.resize(cam, (b, h_in, w_in), method="bilinear")
+    lo = jnp.min(cam, axis=(1, 2), keepdims=True)
+    hi = jnp.max(cam, axis=(1, 2), keepdims=True)
+    cam = (cam - lo) / jnp.maximum(hi - lo, 1e-7)
+    return np.asarray(cam, np.float32)
+
+
+def show_cam_on_image(img: np.ndarray, mask: np.ndarray,
+                      use_rgb: bool = True, image_weight: float = 0.5
+                      ) -> np.ndarray:
+    """Overlay a [0,1] heatmap on a [0,1] RGB image with a jet colormap
+    (grad_cam/utils.py:178-203 behavior, matplotlib instead of cv2)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import cm
+
+    if img.max() > 1.0 + 1e-6 or img.min() < -1e-6:
+        raise ValueError("show_cam_on_image expects img scaled to [0, 1]")
+    heat = cm.jet(mask)[..., :3]
+    if not use_rgb:
+        heat = heat[..., ::-1]
+    out = (1 - image_weight) * heat + image_weight * img
+    out = out / max(out.max(), 1e-7)
+    return np.uint8(255 * out)
+
+
+def center_crop_img(img: np.ndarray, size: int) -> np.ndarray:
+    """Aspect-preserving resize + center crop (grad_cam/utils.py:206-230)."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    if w > h:
+        nh, nw = size, int(w * size / h)
+    else:
+        nh, nw = int(h * size / w), size
+    im = Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
+    arr = np.asarray(im)
+    y0 = (nh - size) // 2
+    x0 = (nw - size) // 2
+    return arr[y0:y0 + size, x0:x0 + size]

@@ -1,0 +1,360 @@
+"""MedMamba VSSM, TPU-native (flax.linen, NHWC, bf16-friendly).
+
+Re-implements the capability of the reference model (``/root/reference/MedMamba.py``)
+with a TPU-first design:
+
+* NHWC layout end to end (XLA-TPU's preferred conv layout); the reference permutes
+  between NCHW and BHWC repeatedly (``MedMamba.py:294, 299, 352, 354, 511``).
+* The four-direction selective scan runs through ``medmamba_tpu.ops`` — a fused
+  Pallas kernel on TPU, pure-XLA associative scan elsewhere — replacing the CUDA
+  ``selective_scan_fn`` (``MedMamba.py:273-279``).
+* Block compute can run in bfloat16 (``dtype``); the scan core is forced to float32
+  exactly like the reference (``MedMamba.py:265-271``).
+* ``use_checkpoint`` maps to ``flax.linen.remat`` (reference: torch.utils.checkpoint
+  per block, ``MedMamba.py:413-415``).
+
+Parameterization matches the reference exactly (same tensors, same shapes, same
+init distributions) so parameter counts reproduce T 14.46M / S 18.63M / B 39.87M /
+Te 13.70M at 9 classes (SURVEY §2.1).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from medmamba_tpu.ops.cross_scan import cross_scan, cross_merge
+from medmamba_tpu.ops.selective_scan import selective_scan
+
+Dtype = Any
+
+# ---------------------------------------------------------------------------
+# Initializers (parity with MedMamba.py:193-247 and :470-489)
+# ---------------------------------------------------------------------------
+
+trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02)
+kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def dt_weight_init(dt_rank: int):
+    """Uniform(+/- dt_rank^-0.5), cf. SS2D.dt_init (MedMamba.py:198-202)."""
+    std = dt_rank ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-std, maxval=std)
+
+    return init
+
+
+def dt_bias_init(dt_min: float = 1e-3, dt_max: float = 0.1, floor: float = 1e-4):
+    """Inverse-softplus of log-uniform dt sample (MedMamba.py:206-214)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, jnp.float32)
+        dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.maximum(dt, floor)
+        inv = dt + jnp.log(-jnp.expm1(-dt))
+        return inv.astype(dtype)
+
+    return init
+
+
+def a_log_init(key, shape, dtype=jnp.float32):
+    """S4D-real init: log(1..N) tiled over channels (MedMamba.py:220-235).
+
+    shape = (K*d_inner, d_state)."""
+    n = shape[-1]
+    row = jnp.log(jnp.arange(1, n + 1, dtype=jnp.float32))
+    return jnp.broadcast_to(row, shape).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics, used MedMamba.py:335)."""
+
+    rate: float = 0.0
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: Optional[bool] = None):
+        det = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if det or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class PatchEmbed2D(nn.Module):
+    """4x4 non-overlapping conv patchify + optional LayerNorm (MedMamba.py:54-76)."""
+
+    patch_size: int = 4
+    embed_dim: int = 96
+    patch_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C_in)
+        p = self.patch_size
+        x = nn.Conv(
+            self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+            kernel_init=kaiming_fan_out, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="proj",
+        )(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class PatchMerging2D(nn.Module):
+    """Swin-style 2x downsample: 2x2 gather -> LN(4C) -> Dense(2C, no bias).
+
+    Gather order (even/even, odd/even, even/odd, odd/odd) matches
+    MedMamba.py:102-105; odd-size crop fix matches :96-111.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        b, h, w, c = x.shape
+        hh, ww = h // 2, w // 2
+        x0 = x[:, 0::2, 0::2, :][:, :hh, :ww]
+        x1 = x[:, 1::2, 0::2, :][:, :hh, :ww]
+        x2 = x[:, 0::2, 1::2, :][:, :hh, :ww]
+        x3 = x[:, 1::2, 1::2, :][:, :hh, :ww]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(2 * c, use_bias=False, kernel_init=trunc_normal_02,
+                     dtype=self.dtype, name="reduction")(x)
+        return x
+
+
+class SS2D(nn.Module):
+    """2D selective scan module (VMamba SS2D), cf. MedMamba.py:123-305.
+
+    Dataflow: in_proj -> (x, z) -> depthwise 3x3 conv + SiLU -> CrossScan ->
+    per-direction dt/B/C projections -> S6 selective scan (fp32) -> CrossMerge ->
+    LayerNorm -> gate with silu(z) -> out_proj.
+    """
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 3
+    expand: int = 2
+    dt_rank: Optional[int] = None
+    dropout: float = 0.0
+    conv_bias: bool = True
+    bias: bool = False
+    dtype: Dtype = jnp.float32
+    scan_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):  # (B, H, W, d_model)
+        d_inner = self.expand * self.d_model
+        dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
+        n = self.d_state
+        b, h, w, _ = x.shape
+        l = h * w
+        k = 4
+
+        xz = nn.Dense(d_inner * 2, use_bias=self.bias, kernel_init=trunc_normal_02,
+                      dtype=self.dtype, name="in_proj")(x)
+        x, z = jnp.split(xz, 2, axis=-1)
+
+        x = nn.Conv(
+            d_inner, (self.d_conv, self.d_conv),
+            padding=[( (self.d_conv - 1) // 2,) * 2] * 2,
+            feature_group_count=d_inner, use_bias=self.conv_bias,
+            kernel_init=kaiming_fan_out, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="conv2d",
+        )(x)
+        x = nn.silu(x)
+
+        # --- forward_corev0 (MedMamba.py:249-286) ---
+        xs = cross_scan(x)  # (B, K, D, L)
+
+        x_proj_weight = self.param(
+            "x_proj_weight", trunc_normal_02, (k, dt_rank + 2 * n, d_inner))
+        dt_projs_weight = self.param(
+            "dt_projs_weight", dt_weight_init(dt_rank), (k, d_inner, dt_rank))
+        dt_projs_bias = self.param("dt_projs_bias", dt_bias_init(), (k, d_inner))
+        A_logs = self.param("A_logs", a_log_init, (k * d_inner, n))
+        Ds = self.param("Ds", nn.initializers.ones, (k * d_inner,))
+
+        x_dbl = jnp.einsum(
+            "bkdl,kcd->bkcl", xs, x_proj_weight.astype(xs.dtype))
+        dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=2)
+        dts = jnp.einsum("bkrl,kdr->bkdl", dts, dt_projs_weight.astype(dts.dtype))
+
+        u = xs.reshape(b, k * d_inner, l)
+        delta = dts.reshape(b, k * d_inner, l)
+        As = -jnp.exp(A_logs.astype(jnp.float32))
+        out_y = selective_scan(
+            u, delta, As, Bs, Cs, Ds.astype(jnp.float32),
+            delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
+            delta_softplus=True, impl=self.scan_impl,
+        )  # (B, K*D, L) float32
+
+        y = cross_merge(out_y.reshape(b, k, d_inner, l), h, w)  # (B, D, L)
+        y = jnp.transpose(y, (0, 2, 1)).reshape(b, h, w, d_inner)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm")(y)
+        y = y.astype(self.dtype) * nn.silu(z)
+        out = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=trunc_normal_02,
+                       dtype=self.dtype, name="out_proj")(y)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """ShuffleNet channel shuffle on NHWC (MedMamba.py:308-320)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, groups, c // groups)
+    x = jnp.swapaxes(x, 3, 4)
+    return x.reshape(b, h, w, c)
+
+
+class SSConvSSM(nn.Module):
+    """The SS-Conv-SSM hybrid block (MedMamba.py:322-357).
+
+    Channel-split halves: right half -> LN -> SS2D -> DropPath; left half ->
+    BN-Conv3x3-BN-ReLU-Conv3x3-BN-ReLU-Conv1x1-ReLU; concat -> channel_shuffle(2)
+    -> residual add of the whole input.
+    """
+
+    hidden_dim: int
+    drop_path: float = 0.0
+    attn_drop_rate: float = 0.0
+    d_state: int = 16
+    dtype: Dtype = jnp.float32
+    scan_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):  # (B, H, W, C)
+        half = self.hidden_dim // 2
+        left, right = jnp.split(x, 2, axis=-1)
+
+        r = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(right)
+        r = SS2D(d_model=half, d_state=self.d_state, dropout=self.attn_drop_rate,
+                 dtype=self.dtype, scan_impl=self.scan_impl,
+                 name="self_attention")(r, deterministic=deterministic)
+        r = DropPath(self.drop_path, name="drop_path")(r, deterministic=deterministic)
+
+        bn = lambda nm: nn.BatchNorm(use_running_average=deterministic,
+                                     momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                                     name=nm)
+        conv = lambda kxk, nm: nn.Conv(half, (kxk, kxk), padding="SAME",
+                                       kernel_init=kaiming_fan_out,
+                                       bias_init=nn.initializers.zeros,
+                                       dtype=self.dtype, name=nm)
+        c = bn("conv_bn0")(left)
+        c = conv(3, "conv3x3_0")(c)
+        c = bn("conv_bn1")(c)
+        c = nn.relu(c)
+        c = conv(3, "conv3x3_1")(c)
+        c = bn("conv_bn2")(c)
+        c = nn.relu(c)
+        c = conv(1, "conv1x1")(c)
+        c = nn.relu(c)
+
+        out = jnp.concatenate([c, r], axis=-1)
+        out = channel_shuffle(out, groups=2)
+        return out + x
+
+
+class VSSLayer(nn.Module):
+    """One stage: depth x SSConvSSM (+ optional PatchMerging2D), MedMamba.py:359-422."""
+
+    dim: int
+    depth: int
+    d_state: int = 16
+    attn_drop: float = 0.0
+    drop_path: Sequence[float] = ()
+    downsample: bool = False
+    use_checkpoint: bool = False
+    dtype: Dtype = jnp.float32
+    scan_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        block_cls = SSConvSSM
+        if self.use_checkpoint:
+            block_cls = nn.remat(SSConvSSM, static_argnums=(2,))
+        for i in range(self.depth):
+            dp = self.drop_path[i] if i < len(self.drop_path) else 0.0
+            x = block_cls(
+                hidden_dim=self.dim, drop_path=dp, attn_drop_rate=self.attn_drop,
+                d_state=self.d_state, dtype=self.dtype, scan_impl=self.scan_impl,
+                name=f"blocks_{i}",
+            )(x, deterministic)
+        if self.downsample:
+            x = PatchMerging2D(dtype=self.dtype, name="downsample")(x)
+        return x
+
+
+class VSSM(nn.Module):
+    """MedMamba top model (MedMamba.py:423-515).
+
+    Input NHWC (B, H, W, 3); output logits (B, num_classes).
+    """
+
+    patch_size: int = 4
+    num_classes: int = 1000
+    depths: Sequence[int] = (2, 2, 4, 2)
+    dims: Sequence[int] = (96, 192, 384, 768)
+    d_state: Optional[int] = 16
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    patch_norm: bool = True
+    use_checkpoint: bool = False
+    dtype: Dtype = jnp.float32
+    scan_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = self.backbone(x, deterministic)
+        x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1) over NHWC
+        x = nn.Dense(self.num_classes, kernel_init=trunc_normal_02,
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="head")(x)
+        return x.astype(jnp.float32)
+
+    @nn.nowrap
+    def _stage_dpr(self):
+        # Linear stochastic-depth decay over all blocks (MedMamba.py:450).
+        total = sum(self.depths)
+        if total == 1:
+            return [0.0]
+        return [self.drop_path_rate * i / (total - 1) for i in range(total)]
+
+    def backbone(self, x, deterministic: bool = True):
+        num_layers = len(self.depths)
+        d_state = (math.ceil(self.dims[0] / 6)
+                   if self.d_state is None else self.d_state)
+        x = PatchEmbed2D(patch_size=self.patch_size, embed_dim=self.dims[0],
+                         patch_norm=self.patch_norm, dtype=self.dtype,
+                         name="patch_embed")(x.astype(self.dtype))
+        if self.drop_rate > 0.0:
+            x = nn.Dropout(self.drop_rate, name="pos_drop")(x, deterministic)
+        dpr = self._stage_dpr()
+        for i in range(num_layers):
+            x = VSSLayer(
+                dim=self.dims[i], depth=self.depths[i], d_state=d_state,
+                attn_drop=self.attn_drop_rate,
+                drop_path=dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])],
+                downsample=i < num_layers - 1,
+                use_checkpoint=self.use_checkpoint, dtype=self.dtype,
+                scan_impl=self.scan_impl, name=f"layers_{i}",
+            )(x, deterministic)
+        return x

@@ -1,0 +1,94 @@
+"""Device mesh + sharding helpers (the distributed layer the reference lacks).
+
+The reference is strictly single-GPU (SURVEY §2.7: device hardcoded ``cuda:0``,
+no torch.distributed anywhere). Here scaling is first-class and idiomatic:
+
+* a ``Mesh`` with axes ``("data", "model")``;
+* batches sharded over ``data`` (DP) -- XLA inserts the psum gradient reduction
+  over ICI automatically;
+* optionally, large kernels sharded over ``model`` (TP) via parameter partition
+  rules (see ``partition_params``). The default is model=1 (pure DP), which is
+  the right regime for these <=40M-parameter models.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    assert n_data * n_model == n, (n_data, n_model, n)
+    dev = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(dev, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, images, labels):
+    """Place a host batch onto the mesh, sharded over the data axis.
+
+    Pads the batch up to a multiple of the data-axis size if needed (last partial
+    batch); padded examples get label -1 and are masked out by callers that care.
+    """
+    nd = mesh.shape["data"]
+    b = images.shape[0]
+    if b % nd != 0:
+        pad = nd - b % nd
+        images = np.concatenate([images, np.repeat(images[-1:], pad, 0)], 0)
+        labels = np.concatenate([labels, np.full((pad,), -1, labels.dtype)], 0)
+    imgs = jax.device_put(images, NamedSharding(mesh, P("data")))
+    lbls = jax.device_put(labels, NamedSharding(mesh, P("data")))
+    return imgs, lbls
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate a TrainState's arrays across the mesh (pure-DP parameter layout)."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, state)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel parameter partitioning (optional `model` axis)
+# ---------------------------------------------------------------------------
+
+def _spec_for(path: Tuple[str, ...], x) -> P:
+    """Partition rule: shard the output features of big kernels over `model`.
+
+    Dense kernels (in, out) -> P(None, 'model'); conv kernels
+    (kh, kw, in, out) -> P(None, None, None, 'model'); SS2D per-direction stacks
+    (K, ., d_inner) shard d_inner; 1-D / small params replicate.
+    """
+    name = path[-1] if path else ""
+    if name == "kernel" and getattr(x, "ndim", 0) == 2:
+        return P(None, "model")
+    if name == "kernel" and getattr(x, "ndim", 0) == 4:
+        return P(None, None, None, "model")
+    if name == "x_proj_weight":
+        return P(None, None, "model")
+    if name == "dt_projs_weight":
+        return P(None, "model", None)
+    if name in ("A_logs",):
+        return P("model", None)
+    if name in ("Ds",):
+        return P("model")
+    return P()
+
+
+def partition_params(params, mesh: Mesh):
+    """Apply TP partition rules over the `model` axis (no-op when model=1)."""
+    def place(path, x):
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        spec = _spec_for(keys, x)
+        try:
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        except ValueError:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, params)

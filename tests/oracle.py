@@ -52,3 +52,64 @@ def cross_scan_oracle(x):
     out[:, 2] = out[:, 0][:, :, ::-1]
     out[:, 3] = out[:, 1][:, :, ::-1]
     return out
+
+
+def layer_norm_oracle(x, scale, bias, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * scale + bias
+
+
+def silu(x):
+    return x / (1.0 + np.exp(-x))
+
+
+def depthwise_conv2d_oracle(x, kernel, bias):
+    """x: (b,h,w,c); kernel: (kh,kw,1,c) cross-correlation, SAME padding."""
+    b, h, w, c = x.shape
+    kh, kw = kernel.shape[:2]
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    xp = np.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    out = np.zeros_like(x)
+    for i in range(kh):
+        for j in range(kw):
+            out += xp[:, i:i + h, j:j + w, :] * kernel[i, j, 0][None, None, None, :]
+    return out + bias
+
+
+def ss2d_oracle(x, p, d_state=16):
+    """Independent numpy forward of the SS2D module (MedMamba.py:288-305 semantics).
+
+    x: (b,h,w,d_model); p: flax param dict for one SS2D module.
+    """
+    b, h, w, d_model = x.shape
+    l = h * w
+    d_inner = p["conv2d"]["bias"].shape[0]
+    dt_rank = p["dt_projs_weight"].shape[-1]
+    n = d_state
+
+    xz = x @ p["in_proj"]["kernel"]
+    xc, z = xz[..., :d_inner], xz[..., d_inner:]
+    xc = silu(depthwise_conv2d_oracle(xc, p["conv2d"]["kernel"], p["conv2d"]["bias"]))
+
+    xs = cross_scan_oracle(xc)  # (b,4,d,l)
+    x_dbl = np.einsum("bkdl,kcd->bkcl", xs, p["x_proj_weight"])
+    dts, Bs, Cs = (x_dbl[:, :, :dt_rank], x_dbl[:, :, dt_rank:dt_rank + n],
+                   x_dbl[:, :, dt_rank + n:])
+    dts = np.einsum("bkrl,kdr->bkdl", dts, p["dt_projs_weight"])
+
+    u = xs.reshape(b, 4 * d_inner, l)
+    delta = dts.reshape(b, 4 * d_inner, l)
+    A = -np.exp(p["A_logs"])
+    y = selective_scan_oracle(u, delta, A, Bs, Cs, p["Ds"],
+                              p["dt_projs_bias"].reshape(-1), delta_softplus=True)
+    ys = y.reshape(b, 4, d_inner, l)
+    y0 = ys[:, 0]
+    y2 = ys[:, 2][:, :, ::-1]
+    y1 = np.transpose(ys[:, 1].reshape(b, d_inner, w, h), (0, 1, 3, 2)).reshape(b, d_inner, l)
+    y3 = np.transpose(ys[:, 3][:, :, ::-1].reshape(b, d_inner, w, h), (0, 1, 3, 2)).reshape(b, d_inner, l)
+    y = y0 + y1 + y2 + y3
+    y = np.transpose(y, (0, 2, 1)).reshape(b, h, w, d_inner)
+    y = layer_norm_oracle(y, p["out_norm"]["scale"], p["out_norm"]["bias"])
+    y = y * silu(z)
+    return y @ p["out_proj"]["kernel"]

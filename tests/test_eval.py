@@ -1,0 +1,67 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from medmamba_tpu.eval.metrics import ConfusionMatrix, _binary_auc
+from medmamba_tpu.eval.gradcam import grad_cam, default_target_path, show_cam_on_image
+from medmamba_tpu.models.vssm import VSSM
+
+
+def test_confusion_matrix_counts_and_metrics():
+    cm = ConfusionMatrix(3, labels=["a", "b", "c"])
+    preds = np.array([0, 0, 1, 2, 2, 1])
+    trues = np.array([0, 1, 1, 2, 0, 1])
+    cm.update(preds, trues)
+    # matrix[pred, true]
+    assert cm.matrix[0, 0] == 1 and cm.matrix[0, 1] == 1
+    assert cm.matrix[1, 1] == 2 and cm.matrix[2, 2] == 1 and cm.matrix[2, 0] == 1
+    assert cm.accuracy() == 4 / 6
+    pc = cm.per_class()
+    # class 0: tp=1, fp=1 (pred 0 true 1), fn=1 (true 0 pred 2)
+    assert pc["precision"][0] == 0.5 and pc["recall"][0] == 0.5
+    s = cm.summary()
+    assert "accuracy" in s and "macro" in s
+
+
+def test_auc_perfect_and_random():
+    scores = np.array([0.9, 0.8, 0.2, 0.1])
+    pos = np.array([True, True, False, False])
+    assert _binary_auc(scores, pos) == 1.0
+    assert _binary_auc(1 - scores, pos) == 0.0
+    # with probs collected through update
+    cm = ConfusionMatrix(2)
+    probs = np.array([[0.1, 0.9], [0.8, 0.2], [0.3, 0.7], [0.6, 0.4]])
+    trues = np.array([1, 0, 1, 0])
+    cm.update(probs.argmax(1), trues, probs)
+    assert cm.auc() == 1.0
+
+
+def test_confusion_plot(tmp_path):
+    cm = ConfusionMatrix(2)
+    cm.update(np.array([0, 1]), np.array([0, 1]))
+    p = cm.plot(str(tmp_path / "cm.png"))
+    import os
+    assert os.path.exists(p)
+
+
+def test_grad_cam_tiny_model():
+    model = VSSM(num_classes=3, depths=(1, 1), dims=(8, 16), d_state=4,
+                 drop_path_rate=0.0, scan_impl="seq")
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, 16, 16, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.key(0)}, x, True)
+    assert default_target_path(model) == ("layers_1", "blocks_0", "conv1x1")
+    cams = grad_cam(model, variables, x)
+    assert cams.shape == (2, 16, 16)
+    assert cams.min() >= 0.0 and cams.max() <= 1.0
+    assert np.isfinite(cams).all()
+    # explicit target class
+    cams2 = grad_cam(model, variables, x, target_class=np.array([1, 2]))
+    assert cams2.shape == (2, 16, 16)
+
+
+def test_show_cam_on_image():
+    img = np.random.default_rng(1).uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    mask = np.random.default_rng(2).uniform(0, 1, (16, 16)).astype(np.float32)
+    out = show_cam_on_image(img, mask)
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8

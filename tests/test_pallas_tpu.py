@@ -1,0 +1,75 @@
+"""Pallas kernel tests -- TPU hardware only.
+
+Run with:  MEDMAMBA_TPU_TESTS=1 python -m pytest tests/test_pallas_tpu.py -q
+(The default suite forces the CPU backend, where the Mosaic kernel cannot run.)
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="Pallas selective-scan kernel requires a TPU backend")
+
+from medmamba_tpu.ops.pallas_scan import selective_scan_pallas  # noqa: E402
+from medmamba_tpu.ops.selective_scan import (  # noqa: E402
+    selective_scan_assoc, selective_scan_seq)
+from tests.oracle import selective_scan_oracle  # noqa: E402
+
+
+def _make(rng, b=2, d=64, n=16, l=128, g=4):
+    u = rng.standard_normal((b, d, l)).astype(np.float32)
+    delta = (0.3 * rng.standard_normal((b, d, l))).astype(np.float32)
+    A = -np.exp(rng.standard_normal((d, n)).astype(np.float32) * 0.5)
+    B = rng.standard_normal((b, g, n, l)).astype(np.float32)
+    C = rng.standard_normal((b, g, n, l)).astype(np.float32)
+    D = rng.standard_normal((d,)).astype(np.float32)
+    bias = (0.1 * rng.standard_normal((d,))).astype(np.float32)
+    return u, delta, A, B, C, D, bias
+
+
+@pytest.mark.parametrize("l", [128, 200, 49, 512])
+def test_pallas_fwd_vs_oracle(l):
+    rng = np.random.default_rng(0)
+    u, delta, A, B, C, D, bias = _make(rng, l=l)
+    y_ref = selective_scan_oracle(u, delta, A, B, C, D, bias,
+                                  delta_softplus=True)
+    y = selective_scan_pallas(u, delta, A, B, C, D, delta_bias=bias,
+                              delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-3, atol=3e-3)
+
+
+def test_pallas_last_state():
+    rng = np.random.default_rng(1)
+    u, delta, A, B, C, D, bias = _make(rng, l=200)
+    _, last_p = selective_scan_pallas(u, delta, A, B, C, D, delta_bias=bias,
+                                      delta_softplus=True,
+                                      return_last_state=True)
+    _, last_s = selective_scan_seq(u, delta, A, B, C, D, bias, True,
+                                   return_last_state=True)
+    np.testing.assert_allclose(np.asarray(last_p).reshape(-1),
+                               np.asarray(last_s).reshape(-1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_grads_vs_assoc():
+    rng = np.random.default_rng(2)
+    u, delta, A, B, C, D, bias = _make(rng, b=2, d=16, n=8, g=2, l=200)
+    args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+    gyw = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32))
+
+    def loss(fn):
+        def f(a):
+            y = fn(a[0], a[1], a[2], a[3], a[4], a[5], delta_bias=a[6],
+                   delta_softplus=True)
+            return jnp.sum(y * gyw)
+        return f
+
+    g_p = jax.grad(loss(selective_scan_pallas))(args)
+    g_a = jax.grad(loss(selective_scan_assoc))(args)
+    for name, gp, ga in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_p, g_a):
+        gp, ga = np.asarray(gp), np.asarray(ga)
+        scale = np.abs(ga).max() + 1e-6
+        assert np.abs(gp - ga).max() / scale < 1e-3, name

@@ -1,0 +1,76 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from medmamba_tpu.parallel.mesh import (make_mesh, partition_params,
+                                        replicate_state, shard_batch)
+from medmamba_tpu.models.vssm import VSSM
+from medmamba_tpu.train.trainer import init_state, make_optimizer, train_step
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_shard_batch_pads_partial():
+    mesh = make_mesh()
+    imgs = np.zeros((5, 8, 8, 3), np.uint8)
+    lbls = np.arange(5, dtype=np.int64)
+    si, sl = shard_batch(mesh, imgs, lbls)
+    assert si.shape[0] == 8 and sl.shape[0] == 8
+    assert np.asarray(sl)[5:].tolist() == [-1, -1, -1]
+
+
+def _tiny_state(scan_impl="seq"):
+    model = VSSM(num_classes=3, depths=(1, 1), dims=(8, 16), d_state=4,
+                 drop_path_rate=0.0, scan_impl=scan_impl)
+    tx = make_optimizer(1e-3, npz_mode=True)
+    return init_state(model, jax.random.key(0), tx, input_shape=(1, 16, 16, 3))
+
+
+def test_dp_train_step_on_mesh_matches_single_device():
+    """The sharded step must produce the same loss as the unsharded one."""
+    state = _tiny_state()
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 3, (8,), dtype=np.int64)
+
+    s1, loss1 = train_step(state, jnp.asarray(images), jnp.asarray(labels),
+                           jax.random.key(1), augment=False, image_size=16)
+
+    mesh = make_mesh()
+    state_r = replicate_state(_tiny_state(), mesh)
+    si, sl = shard_batch(mesh, images, labels)
+    s2, loss2 = train_step(state_r, si, sl, jax.random.key(1), augment=False,
+                           image_size=16)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_tp_partitioned_params_step():
+    """Params sharded over the model axis (TP) still train correctly."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    state = _tiny_state()
+    loss_ref = None
+    s_plain, loss_plain = train_step(
+        state, jnp.zeros((4, 16, 16, 3), jnp.uint8),
+        jnp.zeros((4,), jnp.int64), jax.random.key(1),
+        augment=False, image_size=16)
+
+    state_tp = _tiny_state().replace(
+        params=partition_params(_tiny_state().params, mesh))
+    si, sl = shard_batch(mesh, np.zeros((4, 16, 16, 3), np.uint8),
+                         np.zeros((4,), np.int64))
+    s_tp, loss_tp = train_step(state_tp, si, sl, jax.random.key(1),
+                               augment=False, image_size=16)
+    np.testing.assert_allclose(float(loss_plain), float(loss_tp), rtol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
