@@ -23,13 +23,17 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 42, drop_last: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2, pad_to_full: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # pad the final partial batch to the full batch size with label -1
+        # (keeps a single static shape -> one XLA compile; the trainer masks
+        # label<0 in loss/accuracy)
+        self.pad_to_full = pad_to_full
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -56,7 +60,14 @@ class BatchLoader:
                     if stop.is_set():
                         return
                     idx = order[i * self.batch_size:(i + 1) * self.batch_size]
-                    q.put(self.dataset.get_batch(idx))
+                    imgs, labels = self.dataset.get_batch(idx)
+                    if self.pad_to_full and len(idx) < self.batch_size:
+                        pad = self.batch_size - len(idx)
+                        imgs = np.concatenate(
+                            [imgs, np.repeat(imgs[-1:], pad, 0)], 0)
+                        labels = np.concatenate(
+                            [labels, np.full((pad,), -1, labels.dtype)], 0)
+                    q.put((imgs, labels))
             finally:
                 q.put(None)
 

@@ -358,8 +358,8 @@ def _layout(u, delta, A, B, C, D, bias, chunk):
     return u4, dt4, A3, B4, C4, D2, bias2, l, lp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _scan_core(u, delta, A, B, C, D, bias, chunk):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _scan_core(u, delta, A, B, C, D, bias, chunk, in_dtypes):
     (y, _last), _res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk)
     return y
 
@@ -370,17 +370,20 @@ def _scan_core_fwd(u, delta, A, B, C, D, bias, chunk):
         u, delta, A, B, C, D, bias, chunk)
     y4, states, last = _fwd_pallas(u4, dt4, A3, B4, C4, D2, bias2, chunk, l)
     y = y4.reshape(bb, d, lp)[:, :, :l]
-    res = (u4, dt4, A3, B4, C4, D2, bias2, states, (bb, d, l, lp))
+    res = (u4, dt4, A3, B4, C4, D2, bias2, states)
     return (y, last.reshape(bb, d, -1)), res
 
 
-def _vjp_fwd(u, delta, A, B, C, D, bias, chunk):
+def _vjp_fwd(u, delta, A, B, C, D, bias, chunk, in_dtypes):
     (y, _last), res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk)
     return y, res
 
 
-def _vjp_bwd(chunk, res, gy):
-    u4, dt4, A3, B4, C4, D2, bias2, states, (bb, d, l, lp) = res
+def _vjp_bwd(chunk, in_dtypes, res, gy):
+    u4, dt4, A3, B4, C4, D2, bias2, states = res
+    bb, g_, dpg_, lp = u4.shape
+    d = g_ * dpg_
+    l = gy.shape[-1]
     g, n = B4.shape[1], B4.shape[2]
     dpg = d // g
     if lp != l:
@@ -392,8 +395,10 @@ def _vjp_bwd(chunk, res, gy):
     ddt = ddt.reshape(bb, d, lp)[:, :, :l]
     dB = dB[..., :l]
     dC = dC[..., :l]
-    return (du, ddt, dA.reshape(d, n), dB, dC, dD.reshape(d),
-            dbias.reshape(d))
+    grads = (du, ddt, dA.reshape(d, n), dB, dC, dD.reshape(d),
+             dbias.reshape(d))
+    # cotangents must match the primal dtypes (bf16 inputs get bf16 grads)
+    return tuple(gr.astype(dt) for gr, dt in zip(grads, in_dtypes))
 
 
 _scan_core.defvjp(_vjp_fwd, _vjp_bwd)
@@ -433,4 +438,7 @@ def selective_scan_pallas(
         (y, last), _ = _scan_core_fwd(u, delta, A.astype(jnp.float32),
                                       B, C, D, delta_bias, c)
         return y, last
-    return _scan_core(u, delta, A.astype(jnp.float32), B, C, D, delta_bias, c)
+    in_dtypes = tuple(str(x.dtype) for x in
+                      (u, delta, A, B, C, D, delta_bias))
+    return _scan_core(u, delta, jnp.asarray(A, jnp.float32), B, C, D,
+                      delta_bias, c, in_dtypes)

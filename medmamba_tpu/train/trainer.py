@@ -58,7 +58,14 @@ def make_optimizer(lr: float, npz_mode: bool, epoch_schedule=None,
 
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    """Mean CE over valid examples; label -1 marks padding (masked out).
+
+    Padding appears when a partial final batch is padded up to the static batch
+    size (avoids a second XLA compile) or up to the data-mesh divisor."""
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
+    return jnp.sum(losses * valid) / jnp.maximum(jnp.sum(valid), 1)
 
 
 def jit_init_variables(model, rng: jax.Array, input_shape=(1, 224, 224, 3)):
@@ -113,5 +120,5 @@ def eval_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
     x = preprocess(jax.random.key(0), images, size=image_size, augment=False)
     logits = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats}, x, True)
-    correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+    correct = jnp.sum((jnp.argmax(logits, -1) == labels) & (labels >= 0))
     return correct, logits
