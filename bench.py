@@ -46,22 +46,32 @@ def main():
     images, labels = shard_batch(mesh, images, labels)
     key = jax.random.key(1)
 
-    for _ in range(warmup):
-        state, loss = train_step(state, images, labels, key, augment=True)
-    float(loss)  # true sync (forces the full dependency chain to completion)
+    import functools
 
-    def run(n, s):
+    # N steps inside ONE jitted fori_loop: a single dispatch + single sync, so
+    # host<->device round-trip latency (large through a remote TPU tunnel) is
+    # paid once, and difference timing cancels even that.
+    @functools.partial(jax.jit, donate_argnames=("s",))
+    def run_n(s, n):  # n is a traced scalar -> one compile for any step count
+        def body(i, carry):
+            st, _ = carry
+            st, loss = train_step(st, images, labels, key, augment=True)
+            return (st, loss)
+        return jax.lax.fori_loop(0, n, body, (s, jnp.zeros((), jnp.float32)),
+                                 unroll=False)
+
+    state, loss = run_n(state, warmup)  # compile + warmup
+    float(loss)
+
+    def run(s, n):
         t0 = time.perf_counter()
-        for _ in range(n):
-            s, loss = train_step(s, images, labels, key, augment=True)
-        float(loss)  # data dependency -> real completion, not just enqueue
+        s, loss = run_n(s, n)
+        float(loss)  # data dependency -> real completion
         return time.perf_counter() - t0, s
 
-    # Difference timing cancels the (possibly large, e.g. remote-tunnel) fixed
-    # dispatch/sync round-trip latency: t_step = (T(big) - T(small)) / (big-small).
     small = max(2, steps // 8)
-    t_small, state = run(small, state)
-    t_big, state = run(steps, state)
+    t_small, state = run(state, small)
+    t_big, state = run(state, steps)
     dt = max(t_big - t_small, 1e-9)
     eff_steps = steps - small
 

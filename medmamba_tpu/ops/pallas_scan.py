@@ -4,17 +4,18 @@ Replaces the reference's CUDA ``selective_scan_fn`` (mamba_ssm, called at
 ``MedMamba.py:273-279``) with a single fused kernel that keeps the whole
 recurrence state in VMEM:
 
-  * grid = (d_block, group, batch, L_chunk); the L_chunk axis is innermost and
-    sequential -- the (D_blk, N) recurrence state is carried in VMEM scratch
-    across chunks (no HBM round-trip for h);
-  * per chunk: delta-bias + softplus, discretization ``a = exp(delta (x) A)``,
-    input injection ``b = delta*u (x) B``, an O(log T) within-chunk
-    ``associative_scan``, carry application, the C-contraction and the D skip --
-    all fused (one read of u/delta/B/C, one write of y);
+  * grid = (d_block, group, batch_block, L_chunk); the L_chunk axis is
+    innermost and sequential -- the (B_blk, D_blk, N) recurrence state is
+    carried in VMEM scratch across chunks (no HBM round-trip for h);
+  * each program processes a (B_blk, D_blk, N, T) cube: delta-bias + softplus,
+    discretization ``a = exp(delta (x) A)``, input injection
+    ``b = delta*u (x) B``, an O(log T) within-chunk Hillis-Steele scan, carry
+    application, the C-contraction and the D skip -- all fused (one read of
+    u/delta/B/C, one write of y);
   * the backward pass is a second Pallas kernel running the chunks in reverse,
     recomputing h within each chunk from saved chunk-boundary states and
     propagating the adjoint recurrence ``dh_t = C_t g_t + a_{t+1} dh_{t+1}``
-    with the same chunked scan.
+    with a flip-free reverse scan.
 
 All computation is float32 (parity with MedMamba.py:265-271); bf16 inputs are
 upcast after load so HBM traffic stays in the input dtype.
@@ -22,7 +23,7 @@ upcast after load so HBM traffic stays in the input dtype.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,18 +35,32 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _pick_dblk(d: int) -> int:
-    for cand in (128, 96, 64, 32, 16, 8):
-        if d % cand == 0:
+def _pick_dblk(d: int, budget: int) -> int:
+    """Largest divisor of d from the aligned candidates, capped by budget."""
+    for cand in (256, 192, 128, 96, 64, 48, 32, 16, 8):
+        if cand <= budget and d % cand == 0:
             return cand
     return d
 
 
-def _combine(e1, e2):
-    a1, b1 = e1
-    a2, b2 = e2
-    return a1 * a2, a2 * b1 + b2
+def _pick_blocks(bb: int, dpg: int, n: int, chunk: int,
+                 vmem_cube_budget: int = 2 * 1024 * 1024) -> Tuple[int, int]:
+    """(B_blk, D_blk) such that a fp32 (B_blk, D_blk, N, T) cube fits budget."""
+    elems = vmem_cube_budget // 4
+    max_bd = max(elems // (n * chunk), 8)
+    for b_blk in (8, 4, 2, 1):
+        if bb % b_blk != 0:
+            continue
+        dblk = _pick_dblk(dpg, max(max_bd // b_blk, 8))
+        if b_blk * dblk <= max_bd or b_blk == 1:
+            return b_blk, dblk
+    return 1, _pick_dblk(dpg, max_bd)
 
+
+# ---------------------------------------------------------------------------
+# Within-chunk scan primitives (Hillis-Steele doubling; Mosaic-friendly,
+# unlike lax.associative_scan whose recursion emits 0-width slices)
+# ---------------------------------------------------------------------------
 
 def _col(x, idx):
     """x[..., idx] as a static slice (scalar indexing lowers to dynamic_slice,
@@ -68,12 +83,8 @@ def _shift_l(x, step, fill):
 
 def _fwd_chunk_scan(a, b):
     """Inclusive forward scan of h_t = a_t h_{t-1} + b_t (h_{-1}=0) over the
-    last axis via Hillis-Steele doubling (log2(T) full-width steps; Mosaic-
-    friendly, unlike lax.associative_scan whose recursion emits 0-width slices).
-
-    Returns (cumprod_a, h): h_t for zero initial state, and P_t = prod_{r<=t} a_r
-    for applying a nonzero entry state: h_full = h + P * h0.
-    """
+    last axis. Returns (cumprod_a, h): h for zero entry state, plus
+    P_t = prod_{r<=t} a_r so a nonzero entry state applies as h + P * h0."""
     T = a.shape[-1]
     x = b
     acc = a
@@ -86,11 +97,10 @@ def _fwd_chunk_scan(a, b):
 
 
 def _bwd_chunk_scan(a, q):
-    """Reverse scan X_t = q_t + a_{t+1} X_{t+1} (within-chunk suffix scan).
+    """Reverse scan X_t = q_t + a_{t+1} X_{t+1} (suffix scan, flip-free).
 
     Returns (Q, X): X for zero boundary, and Q_t = prod_{r=t+1..T-1} a_r so the
-    next-chunk carry c enters as X_full = X + Q * c.
-    """
+    next-chunk carry c enters as X + Q * c."""
     T = a.shape[-1]
     x = q
     p = _shift_l(a, 1, 1.0)
@@ -115,38 +125,37 @@ def _fwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     def _():
         h_scr[...] = jnp.zeros(h_scr.shape, h_scr.dtype)
 
-    h0 = h_scr[...]                                   # (D_blk, N)
-    st_ref[0, 0, 0, :, :] = h0                        # state entering chunk t
+    h0 = h_scr[...]                                   # (B_blk, D_blk, N)
+    st_ref[:, 0, 0] = h0                              # state entering chunk t
 
-    u = u_ref[0, 0].astype(jnp.float32)               # (D_blk, T)
-    dt = dt_ref[0, 0].astype(jnp.float32)
-    dt = jax.nn.softplus(dt + bias_ref[0, 0, :, :])
+    u = u_ref[:, 0].astype(jnp.float32)               # (B_blk, D_blk, T)
+    dt = dt_ref[:, 0].astype(jnp.float32)
+    dt = jax.nn.softplus(dt + bias_ref[0, 0, :, :])   # bias (D_blk, 1) bcast
     A = A_ref[0]                                      # (D_blk, N)
-    Bc = B_ref[0, 0].astype(jnp.float32)              # (N, T)
-    Cc = C_ref[0, 0].astype(jnp.float32)
+    Bc = B_ref[:, 0].astype(jnp.float32)              # (B_blk, N, T)
+    Cc = C_ref[:, 0].astype(jnp.float32)
 
-    a = jnp.exp(dt[:, None, :] * A[:, :, None])       # (D_blk, N, T)
-    dbu = (dt * u)[:, None, :] * Bc[None]
+    a = jnp.exp(dt[:, :, None, :] * A[None, :, :, None])   # (B,D,N,T)
+    dbu = (dt * u)[:, :, None, :] * Bc[:, None]
 
     if l_valid % chunk != 0:
-        # mask padded tail: identity transition, zero input
         pos = t * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, chunk), 2)
+            jnp.int32, (1, 1, 1, chunk), 3)
         valid = pos < l_valid
         a = jnp.where(valid, a, 1.0)
         dbu = jnp.where(valid, dbu, 0.0)
 
     acc_a, acc_h = _fwd_chunk_scan(a, dbu)
-    h = acc_h + acc_a * h0[:, :, None]
-    y = jnp.sum(h * Cc[None], axis=1)                 # (D_blk, T)
+    h = acc_h + acc_a * h0[..., None]
+    y = jnp.sum(h * Cc[:, None], axis=2)              # (B_blk, D_blk, T)
     y = y + D_ref[0, 0, :, :] * u
-    y_ref[0, 0] = y
+    y_ref[:, 0] = y
     h_last = _col(h, -1)
     h_scr[...] = h_last
 
     @pl.when(t == nc - 1)
     def _():
-        last_ref[0, 0, :, :] = h_last
+        last_ref[:, 0] = h_last
 
 
 def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int):
@@ -155,36 +164,42 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int):
     bb, g, dpg, lp = u.shape
     n = A.shape[-1]
     nc = lp // chunk
-    dblk = _pick_dblk(dpg)
+    b_blk, dblk = _pick_blocks(bb, dpg, n, chunk)
     nd = dpg // dblk
 
-    grid = (nd, g, bb, nc)
+    grid = (nd, g, bb // b_blk, nc)
     kernel = functools.partial(_fwd_kernel, l_valid=l_valid, chunk=chunk)
 
     y, states, last = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, dblk, chunk), lambda j, gg, b, t: (b, gg, j, t)),
-            pl.BlockSpec((1, 1, dblk, chunk), lambda j, gg, b, t: (b, gg, j, t)),
-            pl.BlockSpec((1, 1, n, chunk), lambda j, gg, b, t: (b, gg, 0, t)),
-            pl.BlockSpec((1, 1, n, chunk), lambda j, gg, b, t: (b, gg, 0, t)),
+            pl.BlockSpec((b_blk, 1, dblk, chunk),
+                         lambda j, gg, b, t: (b, gg, j, t)),
+            pl.BlockSpec((b_blk, 1, dblk, chunk),
+                         lambda j, gg, b, t: (b, gg, j, t)),
+            pl.BlockSpec((b_blk, 1, n, chunk),
+                         lambda j, gg, b, t: (b, gg, 0, t)),
+            pl.BlockSpec((b_blk, 1, n, chunk),
+                         lambda j, gg, b, t: (b, gg, 0, t)),
             pl.BlockSpec((1, dblk, n), lambda j, gg, b, t: (gg, j, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, dblk, chunk), lambda j, gg, b, t: (b, gg, j, t)),
-            pl.BlockSpec((1, 1, 1, dblk, n),
+            pl.BlockSpec((b_blk, 1, dblk, chunk),
+                         lambda j, gg, b, t: (b, gg, j, t)),
+            pl.BlockSpec((b_blk, 1, 1, dblk, n),
                          lambda j, gg, b, t: (b, gg, t, j, 0)),
-            pl.BlockSpec((1, 1, dblk, n), lambda j, gg, b, t: (b, gg, j, 0)),
+            pl.BlockSpec((b_blk, 1, dblk, n),
+                         lambda j, gg, b, t: (b, gg, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bb, g, dpg, lp), jnp.float32),
             jax.ShapeDtypeStruct((bb, g, nc, dpg, n), jnp.float32),
             jax.ShapeDtypeStruct((bb, g, dpg, n), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((dblk, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_blk, dblk, n), jnp.float32)],
     )(u, delta, B, C, A,
       bias.reshape(g, nd, dblk, 1), D.reshape(g, nd, dblk, 1))
     return y, states, last
@@ -212,56 +227,56 @@ def _bwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
         dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
         dD_ref[...] = jnp.zeros(dD_ref.shape, dD_ref.dtype)
 
-    u = u_ref[0, 0].astype(jnp.float32)                # (D_blk, T)
-    dt_raw = dt_ref[0, 0].astype(jnp.float32) + bias_ref[0, 0, :, :]
+    u = u_ref[:, 0].astype(jnp.float32)                # (B_blk, D_blk, T)
+    dt_raw = dt_ref[:, 0].astype(jnp.float32) + bias_ref[0, 0, :, :]
     dt = jax.nn.softplus(dt_raw)
     sig = jax.nn.sigmoid(dt_raw)
     A = A_ref[0]                                       # (D_blk, N)
-    Bc = B_ref[0, 0].astype(jnp.float32)               # (N, T)
-    Cc = C_ref[0, 0].astype(jnp.float32)
-    gy = gy_ref[0, 0]                                  # (D_blk, T) fp32
-    h0 = st_ref[0, 0, 0, :, :]                         # state entering chunk
+    Bc = B_ref[:, 0].astype(jnp.float32)               # (B_blk, N, T)
+    Cc = C_ref[:, 0].astype(jnp.float32)
+    gy = gy_ref[:, 0]                                  # (B_blk, D_blk, T) fp32
+    h0 = st_ref[:, 0, 0]                               # (B_blk, D_blk, N)
 
-    a = jnp.exp(dt[:, None, :] * A[:, :, None])        # (D_blk, N, T)
-    dbu = (dt * u)[:, None, :] * Bc[None]
+    a = jnp.exp(dt[:, :, None, :] * A[None, :, :, None])
+    dbu = (dt * u)[:, :, None, :] * Bc[:, None]
 
     masked = l_valid % chunk != 0
     if masked:
         pos_t = ((nc - 1 - t) * chunk
-                 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2))
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3))
         valid = pos_t < l_valid
         a = jnp.where(valid, a, 1.0)
         dbu = jnp.where(valid, dbu, 0.0)
-        gy = jnp.where(valid[:, 0], gy, 0.0)
+        gy = jnp.where(valid[:, :, 0], gy, 0.0)
 
     # recompute within-chunk h and h_{t-1}
     acc_a, acc_h = _fwd_chunk_scan(a, dbu)
-    h = acc_h + acc_a * h0[:, :, None]
+    h = acc_h + acc_a * h0[..., None]
     hprev = _shift_r(h, 1, 0.0) + jnp.pad(
-        h0[:, :, None], ((0, 0), (0, 0), (0, h.shape[-1] - 1)))
+        h0[..., None], ((0, 0), (0, 0), (0, 0), (0, h.shape[-1] - 1)))
 
     # adjoint recurrence dh_t = q_t + a_{t+1} dh_{t+1}, carry = dh_scr
-    q = Cc[None] * gy[:, None, :]                      # (D_blk, N, T)
+    q = Cc[:, None] * gy[:, :, None, :]                # (B,D,N,T)
     suffix_p, x = _bwd_chunk_scan(a, q)
-    dh = x + suffix_p * dh_scr[...][:, :, None]        # (D_blk, N, T)
+    dh = x + suffix_p * dh_scr[...][..., None]
     dh_scr[...] = _col(a, 0) * _col(dh, 0)
 
-    dhB = jnp.sum(dh * Bc[None], axis=1)               # Σ_n dh*B -> (D_blk, T)
-    dadt = jnp.sum(dh * hprev * a * A[:, :, None], axis=1)  # (D_blk, T)
+    dhB = jnp.sum(dh * Bc[:, None], axis=2)            # (B,D,T)
+    dadt = jnp.sum(dh * hprev * a * A[None, :, :, None], axis=2)
     du = dt * dhB + D_ref[0, 0, :, :] * gy
     ddt = u * dhB + dadt
     ddt_raw = ddt * sig
     if masked:
-        ddt_raw = jnp.where(valid[:, 0], ddt_raw, 0.0)
-        du = jnp.where(valid[:, 0], du, 0.0)
+        ddt_raw = jnp.where(valid[:, :, 0], ddt_raw, 0.0)
+        du = jnp.where(valid[:, :, 0], du, 0.0)
 
-    du_ref[0, 0] = du
-    ddt_ref[0, 0] = ddt_raw
-    dB_ref[0, 0, 0] = jnp.sum(dh * (dt * u)[:, None, :], axis=0)   # (N, T)
-    dC_ref[0, 0, 0] = jnp.sum(h * gy[:, None, :], axis=0)          # (N, T)
-    dA_ref[0] += jnp.sum(dh * hprev * a * dt[:, None, :], axis=2)
-    dbias_ref[0, 0, :, :] += jnp.sum(ddt_raw, axis=1, keepdims=True)
-    dD_ref[0, 0, :, :] += jnp.sum(gy * u, axis=1, keepdims=True)
+    du_ref[:, 0] = du
+    ddt_ref[:, 0] = ddt_raw
+    dB_ref[0, :, 0] = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)  # (B,N,T)
+    dC_ref[0, :, 0] = jnp.sum(h * gy[:, :, None, :], axis=1)
+    dA_ref[0] += jnp.sum(dh * hprev * a * dt[:, :, None, :], axis=(0, 3))
+    dbias_ref[0, 0, :, :] += jnp.sum(ddt_raw, axis=(0, 2))[:, None]
+    dD_ref[0, 0, :, :] += jnp.sum(gy * u, axis=(0, 2))[:, None]
 
 
 def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
@@ -269,10 +284,11 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
     bb, g, dpg, lp = u.shape
     n = A.shape[-1]
     nc = lp // chunk
-    dblk = _pick_dblk(dpg)
+    b_blk, dblk = _pick_blocks(bb, dpg, n, chunk,
+                               vmem_cube_budget=1024 * 1024)
     nd = dpg // dblk
 
-    grid = (nd, g, bb, nc)
+    grid = (nd, g, bb // b_blk, nc)
     kernel = functools.partial(_bwd_kernel, l_valid=l_valid, chunk=chunk)
 
     def rev(t):
@@ -282,30 +298,30 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, dblk, chunk),
+            pl.BlockSpec((b_blk, 1, dblk, chunk),
                          lambda j, gg, b, t: (b, gg, j, rev(t))),
-            pl.BlockSpec((1, 1, dblk, chunk),
+            pl.BlockSpec((b_blk, 1, dblk, chunk),
                          lambda j, gg, b, t: (b, gg, j, rev(t))),
-            pl.BlockSpec((1, 1, n, chunk),
+            pl.BlockSpec((b_blk, 1, n, chunk),
                          lambda j, gg, b, t: (b, gg, 0, rev(t))),
-            pl.BlockSpec((1, 1, n, chunk),
+            pl.BlockSpec((b_blk, 1, n, chunk),
                          lambda j, gg, b, t: (b, gg, 0, rev(t))),
             pl.BlockSpec((1, dblk, n), lambda j, gg, b, t: (gg, j, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, dblk, n),
+            pl.BlockSpec((b_blk, 1, 1, dblk, n),
                          lambda j, gg, b, t: (b, gg, rev(t), j, 0)),
-            pl.BlockSpec((1, 1, dblk, chunk),
+            pl.BlockSpec((b_blk, 1, dblk, chunk),
                          lambda j, gg, b, t: (b, gg, j, rev(t))),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, dblk, chunk),
+            pl.BlockSpec((b_blk, 1, dblk, chunk),
                          lambda j, gg, b, t: (b, gg, j, rev(t))),
-            pl.BlockSpec((1, 1, dblk, chunk),
+            pl.BlockSpec((b_blk, 1, dblk, chunk),
                          lambda j, gg, b, t: (b, gg, j, rev(t))),
-            pl.BlockSpec((1, 1, 1, n, chunk),
+            pl.BlockSpec((1, b_blk, 1, n, chunk),
                          lambda j, gg, b, t: (j, b, gg, 0, rev(t))),
-            pl.BlockSpec((1, 1, 1, n, chunk),
+            pl.BlockSpec((1, b_blk, 1, n, chunk),
                          lambda j, gg, b, t: (j, b, gg, 0, rev(t))),
             pl.BlockSpec((1, dblk, n), lambda j, gg, b, t: (gg, j, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
@@ -320,7 +336,7 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
             jax.ShapeDtypeStruct((g, nd, dblk, 1), jnp.float32),
             jax.ShapeDtypeStruct((g, nd, dblk, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((dblk, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_blk, dblk, n), jnp.float32)],
     )(u, delta, B, C, A,
       bias.reshape(g, nd, dblk, 1), D.reshape(g, nd, dblk, 1), states, gy)
     return (du, ddt, dB_exp.sum(0), dC_exp.sum(0), dA,
@@ -381,11 +397,10 @@ def _vjp_fwd(u, delta, A, B, C, D, bias, chunk, in_dtypes):
 
 def _vjp_bwd(chunk, in_dtypes, res, gy):
     u4, dt4, A3, B4, C4, D2, bias2, states = res
-    bb, g_, dpg_, lp = u4.shape
-    d = g_ * dpg_
+    bb, g, dpg, lp = u4.shape
+    d = g * dpg
+    n = A3.shape[-1]
     l = gy.shape[-1]
-    g, n = B4.shape[1], B4.shape[2]
-    dpg = d // g
     if lp != l:
         gy = jnp.pad(gy, ((0, 0), (0, 0), (0, lp - l)))
     gy4 = gy.reshape(bb, g, dpg, lp).astype(jnp.float32)
@@ -419,7 +434,7 @@ def selective_scan_pallas(
     """Fused selective scan with the MedMamba.py:273-279 call-site contract.
 
     The fused path requires delta_softplus=True (always the case in SS2D);
-    D/delta_bias default to zeros/ones-free equivalents when omitted.
+    D/delta_bias default to zeros when omitted.
     """
     if not delta_softplus:
         from medmamba_tpu.ops.selective_scan import selective_scan_assoc
@@ -435,7 +450,7 @@ def selective_scan_pallas(
     l = u.shape[-1]
     c = min(chunk, _cdiv(l, 128) * 128)
     if return_last_state:
-        (y, last), _ = _scan_core_fwd(u, delta, A.astype(jnp.float32),
+        (y, last), _ = _scan_core_fwd(u, delta, jnp.asarray(A, jnp.float32),
                                       B, C, D, delta_bias, c)
         return y, last
     in_dtypes = tuple(str(x.dtype) for x in
