@@ -23,6 +23,7 @@ upcast after load so HBM traffic stays in the input dtype.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -33,6 +34,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _pow2ceil(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _compute_dtype():
+    """Scan-internal compute dtype. float32 by default (parity with the
+    reference's forced-fp32 scan core, MedMamba.py:265-271); set
+    MEDMAMBA_SCAN_COMPUTE=bfloat16 to trade precision for VPU throughput."""
+    return jnp.bfloat16 if os.environ.get(
+        "MEDMAMBA_SCAN_COMPUTE") == "bfloat16" else jnp.float32
 
 
 def _pick_dblk(d: int, budget: int) -> int:
@@ -81,31 +97,36 @@ def _shift_l(x, step, fill):
     return jnp.concatenate([x[..., step:], pad], axis=-1)
 
 
-def _fwd_chunk_scan(a, b):
+def _fwd_chunk_scan(a, b, n_valid=None):
     """Inclusive forward scan of h_t = a_t h_{t-1} + b_t (h_{-1}=0) over the
     last axis. Returns (cumprod_a, h): h for zero entry state, plus
-    P_t = prod_{r<=t} a_r so a nonzero entry state applies as h + P * h0."""
+    P_t = prod_{r<=t} a_r so a nonzero entry state applies as h + P * h0.
+
+    n_valid limits the doubling depth when only a prefix of the chunk holds
+    real data (padded tail is identity, so fewer levels suffice)."""
     T = a.shape[-1]
+    span = _pow2ceil(min(T, n_valid or T))
     x = b
     acc = a
     step = 1
-    while step < T:
+    while step < span:
         x = x + acc * _shift_r(x, step, 0.0)
         acc = acc * _shift_r(acc, step, 1.0)
         step *= 2
     return acc, x
 
 
-def _bwd_chunk_scan(a, q):
+def _bwd_chunk_scan(a, q, n_valid=None):
     """Reverse scan X_t = q_t + a_{t+1} X_{t+1} (suffix scan, flip-free).
 
     Returns (Q, X): X for zero boundary, and Q_t = prod_{r=t+1..T-1} a_r so the
     next-chunk carry c enters as X + Q * c."""
     T = a.shape[-1]
+    span = _pow2ceil(min(T, n_valid or T))
     x = q
     p = _shift_l(a, 1, 1.0)
     step = 1
-    while step < T:
+    while step < span:
         x = x + p * _shift_l(x, step, 0.0)
         p = p * _shift_l(p, step, 1.0)
         step *= 2
@@ -128,29 +149,34 @@ def _fwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     h0 = h_scr[...]                                   # (B_blk, D_blk, N)
     st_ref[:, 0, 0] = h0                              # state entering chunk t
 
+    cdt = _compute_dtype()
     u = u_ref[:, 0].astype(jnp.float32)               # (B_blk, D_blk, T)
     dt = dt_ref[:, 0].astype(jnp.float32)
     dt = jax.nn.softplus(dt + bias_ref[0, 0, :, :])   # bias (D_blk, 1) bcast
     A = A_ref[0]                                      # (D_blk, N)
-    Bc = B_ref[:, 0].astype(jnp.float32)              # (B_blk, N, T)
-    Cc = C_ref[:, 0].astype(jnp.float32)
+    Bc = B_ref[:, 0].astype(cdt)                      # (B_blk, N, T)
+    Cc = C_ref[:, 0].astype(cdt)
 
-    a = jnp.exp(dt[:, :, None, :] * A[None, :, :, None])   # (B,D,N,T)
-    dbu = (dt * u)[:, :, None, :] * Bc[:, None]
+    a = jnp.exp(dt[:, :, None, :] * A[None, :, :, None]).astype(cdt)
+    dbu = ((dt * u).astype(cdt))[:, :, None, :] * Bc[:, None]
 
     if l_valid % chunk != 0:
         pos = t * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, 1, chunk), 3)
         valid = pos < l_valid
-        a = jnp.where(valid, a, 1.0)
-        dbu = jnp.where(valid, dbu, 0.0)
+        a = jnp.where(valid, a, jnp.asarray(1.0, cdt))
+        dbu = jnp.where(valid, dbu, jnp.asarray(0.0, cdt))
 
-    acc_a, acc_h = _fwd_chunk_scan(a, dbu)
-    h = acc_h + acc_a * h0[..., None]
-    y = jnp.sum(h * Cc[:, None], axis=2)              # (B_blk, D_blk, T)
+    acc_a, acc_h = _fwd_chunk_scan(a, dbu, n_valid=l_valid)
+    h = acc_h + acc_a * h0[..., None].astype(cdt)
+    y = jnp.sum((h * Cc[:, None]).astype(jnp.float32), axis=2)
     y = y + D_ref[0, 0, :, :] * u
     y_ref[:, 0] = y
-    h_last = _col(h, -1)
+    # With the depth-limited scan (l_valid < chunk => single chunk), the
+    # trailing padded positions are outside the doubling window: take the
+    # state at the last VALID position instead of the last column.
+    last_idx = (l_valid - 1) if l_valid < chunk else -1
+    h_last = _col(h, last_idx).astype(jnp.float32)
     h_scr[...] = h_last
 
     @pl.when(t == nc - 1)
@@ -237,32 +263,37 @@ def _bwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     gy = gy_ref[:, 0]                                  # (B_blk, D_blk, T) fp32
     h0 = st_ref[:, 0, 0]                               # (B_blk, D_blk, N)
 
-    a = jnp.exp(dt[:, :, None, :] * A[None, :, :, None])
-    dbu = (dt * u)[:, :, None, :] * Bc[:, None]
+    cdt = _compute_dtype()
+    a = jnp.exp(dt[:, :, None, :] * A[None, :, :, None]).astype(cdt)
+    dbu = ((dt * u).astype(cdt))[:, :, None, :] * Bc[:, None].astype(cdt)
 
     masked = l_valid % chunk != 0
     if masked:
         pos_t = ((nc - 1 - t) * chunk
                  + jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3))
         valid = pos_t < l_valid
-        a = jnp.where(valid, a, 1.0)
-        dbu = jnp.where(valid, dbu, 0.0)
+        a = jnp.where(valid, a, jnp.asarray(1.0, cdt))
+        dbu = jnp.where(valid, dbu, jnp.asarray(0.0, cdt))
         gy = jnp.where(valid[:, :, 0], gy, 0.0)
 
     # recompute within-chunk h and h_{t-1}
-    acc_a, acc_h = _fwd_chunk_scan(a, dbu)
-    h = acc_h + acc_a * h0[..., None]
-    hprev = _shift_r(h, 1, 0.0) + jnp.pad(
-        h0[..., None], ((0, 0), (0, 0), (0, 0), (0, h.shape[-1] - 1)))
+    acc_a, acc_h = _fwd_chunk_scan(a, dbu, n_valid=l_valid)
+    h = acc_h + acc_a * h0[..., None].astype(cdt)
+    hprev = _shift_r(h, 1, jnp.asarray(0.0, cdt)) + jnp.pad(
+        h0[..., None], ((0, 0), (0, 0), (0, 0), (0, h.shape[-1] - 1))
+    ).astype(cdt)
 
     # adjoint recurrence dh_t = q_t + a_{t+1} dh_{t+1}, carry = dh_scr
-    q = Cc[:, None] * gy[:, :, None, :]                # (B,D,N,T)
-    suffix_p, x = _bwd_chunk_scan(a, q)
-    dh = x + suffix_p * dh_scr[...][..., None]
-    dh_scr[...] = _col(a, 0) * _col(dh, 0)
+    q = Cc[:, None].astype(cdt) * gy[:, :, None, :].astype(cdt)
+    suffix_p, x = _bwd_chunk_scan(a, q, n_valid=l_valid)
+    dh = x + suffix_p * dh_scr[...][..., None].astype(cdt)
+    dh_scr[...] = (_col(a, 0) * _col(dh, 0)).astype(jnp.float32)
 
-    dhB = jnp.sum(dh * Bc[:, None], axis=2)            # (B,D,T)
-    dadt = jnp.sum(dh * hprev * a * A[None, :, :, None], axis=2)
+    dhf = dh.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    dhB = jnp.sum(dhf * Bc[:, None].astype(jnp.float32), axis=2)   # (B,D,T)
+    dadt = jnp.sum((dh * hprev * a).astype(jnp.float32)
+                   * A[None, :, :, None], axis=2)
     du = dt * dhB + D_ref[0, 0, :, :] * gy
     ddt = u * dhB + dadt
     ddt_raw = ddt * sig
@@ -272,9 +303,10 @@ def _bwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
 
     du_ref[:, 0] = du
     ddt_ref[:, 0] = ddt_raw
-    dB_ref[0, :, 0] = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)  # (B,N,T)
-    dC_ref[0, :, 0] = jnp.sum(h * gy[:, :, None, :], axis=1)
-    dA_ref[0] += jnp.sum(dh * hprev * a * dt[:, :, None, :], axis=(0, 3))
+    dB_ref[0, :, 0] = jnp.sum(dhf * (dt * u)[:, :, None, :], axis=1)
+    dC_ref[0, :, 0] = jnp.sum(hf * gy[:, :, None, :], axis=1)
+    dA_ref[0] += jnp.sum((dh * hprev * a).astype(jnp.float32)
+                         * dt[:, :, None, :], axis=(0, 3))
     dbias_ref[0, 0, :, :] += jnp.sum(ddt_raw, axis=(0, 2))[:, None]
     dD_ref[0, 0, :, :] += jnp.sum(gy * u, axis=(0, 2))[:, None]
 
