@@ -30,7 +30,13 @@ def _tiny_state(scan_impl="seq"):
 
 
 def test_dp_train_step_on_mesh_matches_single_device():
-    """The sharded step must produce the same loss as the unsharded one."""
+    """The sharded step must produce the same loss/updates as the unsharded one.
+
+    Tolerances: fp32 reassociation differences between layouts pass through
+    BatchNorm's 1/sqrt(var+eps) and Adam's grad/sqrt(v) normalization, so tiny
+    value noise can flip the *sign* of near-zero first-step updates (magnitude
+    ~lr). Loss is compared tightly; params within 2*lr absolute.
+    """
     state = _tiny_state()
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
@@ -44,29 +50,31 @@ def test_dp_train_step_on_mesh_matches_single_device():
     si, sl = shard_batch(mesh, images, labels)
     s2, loss2 = train_step(state_r, si, sl, jax.random.key(1), augment=False,
                            image_size=16)
-    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=0, atol=2.5e-3)
 
 
 def test_tp_partitioned_params_step():
     """Params sharded over the model axis (TP) still train correctly."""
     mesh = make_mesh(n_data=4, n_model=2)
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 3, (4,), dtype=np.int64)
     state = _tiny_state()
-    loss_ref = None
     s_plain, loss_plain = train_step(
-        state, jnp.zeros((4, 16, 16, 3), jnp.uint8),
-        jnp.zeros((4,), jnp.int64), jax.random.key(1),
+        state, jnp.asarray(images), jnp.asarray(labels), jax.random.key(1),
         augment=False, image_size=16)
 
-    state_tp = _tiny_state().replace(
-        params=partition_params(_tiny_state().params, mesh))
-    si, sl = shard_batch(mesh, np.zeros((4, 16, 16, 3), np.uint8),
-                         np.zeros((4,), np.int64))
+    state_tp = _tiny_state()
+    state_tp = state_tp.replace(
+        params=partition_params(state_tp.params, mesh))
+    si, sl = shard_batch(mesh, images, labels)
     s_tp, loss_tp = train_step(state_tp, si, sl, jax.random.key(1),
                                augment=False, image_size=16)
-    np.testing.assert_allclose(float(loss_plain), float(loss_tp), rtol=1e-5)
+    np.testing.assert_allclose(float(loss_plain), float(loss_tp), rtol=1e-4)
+    assert np.isfinite(float(loss_tp))
 
 
 def test_graft_entry_dryrun():
