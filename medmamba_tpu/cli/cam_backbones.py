@@ -80,7 +80,7 @@ def main(argv=None):
     x = preprocess(jax.random.key(0), jnp.asarray(arr),
                    size=args.image_size, augment=False)
 
-    logits = model.apply(variables, x, True)
+    logits = jax.jit(lambda v, im: model.apply(v, im, True))(variables, x)
     pred = int(np.asarray(logits).argmax())
     target = args.target_category if args.target_category is not None else pred
 

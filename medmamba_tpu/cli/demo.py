@@ -52,14 +52,17 @@ def build_app(args):
     variables = {"params": tree["params"],
                  "batch_stats": tree.get("batch_stats", {})}
 
+    @jax.jit
+    def forward(variables, x):
+        return jax.nn.softmax(model.apply(variables, x, True), -1)
+
     def infer(img_bytes: bytes, target: int):
         img = Image.open(io.BytesIO(img_bytes)).convert("RGB").resize(
             (args.image_size, args.image_size), Image.BILINEAR)
         arr = np.asarray(img, np.uint8)[None]
         x = preprocess(jax.random.key(0), jnp.asarray(arr),
                        size=args.image_size, augment=False)
-        probs = np.asarray(
-            jax.nn.softmax(model.apply(variables, x, True), -1))[0]
+        probs = np.asarray(forward(variables, x))[0]
         pred = int(probs.argmax())
         tc = pred if target < 0 else int(target)
         cam = grad_cam(model, variables, x, target_class=np.array([tc]))[0]

@@ -65,14 +65,17 @@ def main(argv=None):
     if not paths:
         raise SystemExit(f"No images found under {args.test_dir}")
 
+    @jax.jit
+    def forward(variables, x):
+        return jax.nn.softmax(model.apply(variables, x, True), -1)
+
     for i, path in enumerate(paths):
         img = Image.open(path).convert("RGB").resize(
             (args.image_size, args.image_size), Image.BILINEAR)
         arr = np.asarray(img, np.uint8)[None]
         x = preprocess(jax.random.key(0), jnp.asarray(arr),
                        size=args.image_size, augment=False)
-        logits = model.apply(variables, x, True)
-        probs = np.asarray(jax.nn.softmax(logits, -1))[0]
+        probs = np.asarray(forward(variables, x))[0]
         pred = int(probs.argmax())
         conf = float(probs[pred])
 

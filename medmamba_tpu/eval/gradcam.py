@@ -46,56 +46,87 @@ def grad_cam(model, variables, images: jnp.ndarray,
     target_path = tuple(target_path or default_target_path(model))
     b, h_in, w_in, _ = images.shape
 
-    logits0 = model.apply(variables, images, True)
-    if target_class is None:
-        target_class = jnp.argmax(logits0, axis=-1)
-    target_class = jnp.asarray(target_class)
-
-    # First pass: discover the target activation (value + shape).
-    act_cell = {}
-
-    def capture(next_fn, args, kwargs, context):
-        out = next_fn(*args, **kwargs)
-        if context.module.path == target_path:
-            act_cell["act"] = out
-        return out
-
-    with nn.intercept_methods(capture):
-        model.apply(variables, images, True)
-    if "act" not in act_cell:
-        raise ValueError(f"target path {target_path} not found in model")
-    act = act_cell["act"]
-
-    # Second pass: gradient w.r.t. a zero perturbation added at the target output.
-    def loss_fn(delta):
+    # One jitted program computes everything (eager dispatch would pay a
+    # device round trip per op -- catastrophic over a remote TPU tunnel).
+    # Shape of the target activation is discovered abstractly first.
+    def fwd_with_capture(variables, images):
         cell = {}
 
-        def inject(next_fn, args, kwargs, context):
+        def capture(next_fn, args, kwargs, context):
             out = next_fn(*args, **kwargs)
             if context.module.path == target_path:
-                out = out + delta
                 cell["act"] = out
             return out
 
-        with nn.intercept_methods(inject):
+        with nn.intercept_methods(capture):
             logits = model.apply(variables, images, True)
-        loss = jnp.sum(jnp.take_along_axis(
-            logits, target_class[:, None], axis=-1))
-        return loss, cell["act"]
+        if "act" not in cell:
+            raise ValueError(f"target path {target_path} not found in model")
+        return logits, cell["act"]
 
-    grads, act = jax.grad(loss_fn, has_aux=True)(jnp.zeros_like(act))
+    act_shape = jax.eval_shape(fwd_with_capture, variables, images)[1]
 
-    if reshape_transform is not None:
-        grads = reshape_transform(grads)
-        act = reshape_transform(act)
+    cache_key = (model, target_path, reshape_transform, images.shape,
+                 act_shape.shape, str(act_shape.dtype))
+    if cache_key in _CAM_CACHE:
+        cam, _logits = _CAM_CACHE[cache_key](variables, images,
+                                             jnp.asarray(target_class)
+                                             if target_class is not None
+                                             else _predict(model, variables,
+                                                           images))
+        return np.asarray(cam, np.float32)
 
-    weights = jnp.mean(grads, axis=(1, 2), keepdims=True)        # (B,1,1,C)
-    cam = jnp.maximum(jnp.sum(weights * act, axis=-1), 0.0)      # (B,h,w)
-    cam = jax.image.resize(cam, (b, h_in, w_in), method="bilinear")
-    lo = jnp.min(cam, axis=(1, 2), keepdims=True)
-    hi = jnp.max(cam, axis=(1, 2), keepdims=True)
-    cam = (cam - lo) / jnp.maximum(hi - lo, 1e-7)
+    @jax.jit
+    def cam_program(variables, images, target_class):
+        def loss_fn(delta):
+            cell = {}
+
+            def inject(next_fn, args, kwargs, context):
+                out = next_fn(*args, **kwargs)
+                if context.module.path == target_path:
+                    out = out + delta
+                    cell["act"] = out
+                return out
+
+            with nn.intercept_methods(inject):
+                logits = model.apply(variables, images, True)
+            loss = jnp.sum(jnp.take_along_axis(
+                logits, target_class[:, None], axis=-1))
+            return loss, (cell["act"], logits)
+
+        zeros = jnp.zeros(act_shape.shape, act_shape.dtype)
+        grads, (act, logits) = jax.grad(loss_fn, has_aux=True)(zeros)
+
+        if reshape_transform is not None:
+            grads = reshape_transform(grads)
+            act = reshape_transform(act)
+
+        weights = jnp.mean(grads, axis=(1, 2), keepdims=True)    # (B,1,1,C)
+        cam = jnp.maximum(jnp.sum(weights * act, axis=-1), 0.0)  # (B,h,w)
+        cam = jax.image.resize(cam, (b, h_in, w_in), method="bilinear")
+        lo = jnp.min(cam, axis=(1, 2), keepdims=True)
+        hi = jnp.max(cam, axis=(1, 2), keepdims=True)
+        return (cam - lo) / jnp.maximum(hi - lo, 1e-7), logits
+
+    _CAM_CACHE[cache_key] = cam_program
+    if target_class is None:
+        target_class = _predict(model, variables, images)
+    target_class = jnp.asarray(target_class)
+
+    cam, _logits = cam_program(variables, images, target_class)
     return np.asarray(cam, np.float32)
+
+
+_CAM_CACHE: dict = {}
+_PREDICT_CACHE: dict = {}
+
+
+def _predict(model, variables, images):
+    key = (model, images.shape)
+    if key not in _PREDICT_CACHE:
+        _PREDICT_CACHE[key] = jax.jit(
+            lambda v, im: jnp.argmax(model.apply(v, im, True), -1))
+    return _PREDICT_CACHE[key](variables, images)
 
 
 def show_cam_on_image(img: np.ndarray, mask: np.ndarray,
