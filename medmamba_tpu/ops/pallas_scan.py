@@ -60,8 +60,11 @@ def _pick_dblk(d: int, budget: int) -> int:
 
 
 def _pick_blocks(bb: int, dpg: int, n: int, chunk: int,
-                 vmem_cube_budget: int = 2 * 1024 * 1024) -> Tuple[int, int]:
+                 vmem_cube_budget: int = None) -> Tuple[int, int]:
     """(B_blk, D_blk) such that a fp32 (B_blk, D_blk, N, T) cube fits budget."""
+    if vmem_cube_budget is None:
+        vmem_cube_budget = int(os.environ.get("MEDMAMBA_SCAN_CUBE_BUDGET",
+                                              2 * 1024 * 1024))
     elems = vmem_cube_budget // 4
     max_bd = max(elems // (n * chunk), 8)
     for b_blk in (8, 4, 2, 1):
