@@ -1,0 +1,55 @@
+"""CLI-surface tests (argparse semantics; no device work)."""
+import numpy as np
+
+from medmamba_tpu.cli.train import parse_args as train_args
+from medmamba_tpu.cli.test import parse_args as gradcam_args
+from medmamba_tpu.cli.evaluate import parse_args as eval_args
+from medmamba_tpu.data.datasets import is_npz_dir
+
+
+def test_train_flag_surface_matches_reference():
+    """All reference train.py flags (train.py:38-55) parse with same defaults."""
+    a = train_args(["--train_dir", "/t", "--val_dir", "/v"])
+    assert a.medmb_size == "T"
+    assert a.num_classes is None
+    assert a.model_name == "Medmamba"
+    assert a.batch_size is None and a.epochs is None and a.lr is None
+    assert a.resume is None
+    assert a.patience == 25
+    assert a.save_dir == "."
+    assert a.seed == 42
+    assert a.augmentation is False
+    assert a.use_early_stopping is False
+    assert a.attn_drop_rate == 0.0
+
+
+def test_train_flag_overrides():
+    a = train_args(["--train_dir", "/t", "--val_dir", "/v",
+                    "--medmb_size", "B", "--batch_size", "32",
+                    "--epochs", "7", "--lr", "0.01", "--augmentation",
+                    "--use_early_stopping", "--attn_drop_rate", "0.1",
+                    "--dtype", "bfloat16", "--scan_impl", "assoc"])
+    assert (a.medmb_size, a.batch_size, a.epochs, a.lr) == ("B", 32, 7, 0.01)
+    assert a.augmentation and a.use_early_stopping
+    assert a.attn_drop_rate == 0.1
+    assert a.dtype == "bfloat16" and a.scan_impl == "assoc"
+
+
+def test_test_cli_flags():
+    a = gradcam_args(["--checkpoint_path", "/c", "--test_dir", "/d",
+                   "--num_classes", "9"])
+    assert a.output_dir == "gradcam_outputs" and a.num_images == 10
+
+
+def test_evaluate_cli_flags():
+    a = eval_args(["--checkpoint_path", "/c", "--data_dir", "/d"])
+    assert a.split == "test" and a.batch_size == 64
+
+
+def test_npz_autodetection(tmp_path):
+    assert not is_npz_dir(str(tmp_path), "train")
+    np.save(tmp_path / "train_images.npy", np.zeros((2, 4, 4), np.uint8))
+    assert not is_npz_dir(str(tmp_path), "train")  # labels missing
+    np.save(tmp_path / "train_labels.npy", np.zeros((2, 1), np.int64))
+    assert is_npz_dir(str(tmp_path), "train")
+    assert not is_npz_dir(str(tmp_path), "val")
