@@ -202,6 +202,7 @@ def main(argv=None):
                              f"{args.model_name}_epoch_{final_epoch}_last")
     ckpt.save_checkpoint(last_path, state, epoch=final_epoch, best_acc=best_acc,
                          num_classes=num_classes, class_indices=class_indices)
+    ckpt.wait_for_saves()
     log.info("Saved last checkpoint to %s", last_path)
     print(f"Finished Training. Final Epoch Reached: {final_epoch}. "
           f"Best validation accuracy: {best_acc:.3f}")

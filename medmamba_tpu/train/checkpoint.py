@@ -21,10 +21,35 @@ def _meta_path(path: str) -> str:
     return os.path.join(path, "meta.json")
 
 
+_ASYNC_CKPTR: Optional["ocp.AsyncCheckpointer"] = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async checkpoint save completes."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(path: str, state, *, epoch: int, best_acc: float,
-                    num_classes: int, class_indices: Dict) -> None:
-    """Save a training checkpoint directory at ``path`` (overwrites)."""
+                    num_classes: int, class_indices: Dict,
+                    async_save: bool = True) -> None:
+    """Save a training checkpoint directory at ``path`` (overwrites).
+
+    Saves are asynchronous by default (orbax AsyncCheckpointer): the device
+    arrays are snapshotted to host, then serialization overlaps with the next
+    epoch's compute instead of stalling the step loop (the reference's
+    torch.save is synchronous; at small-epoch scales the save dominated the
+    epoch). Consumers that immediately reload should call wait_for_saves().
+    """
     path = os.path.abspath(path)
+    wait_for_saves()  # one save in flight at a time; also makes rmtree safe
     if os.path.exists(path):
         shutil.rmtree(path)
     payload = {
@@ -33,8 +58,11 @@ def save_checkpoint(path: str, state, *, epoch: int, best_acc: float,
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state"), payload)
+    if async_save:
+        _async_checkpointer().save(os.path.join(path, "state"), payload)
+    else:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(os.path.join(path, "state"), payload)
     with open(_meta_path(path), "w") as f:
         json.dump({"epoch": int(epoch), "best_acc": float(best_acc),
                    "num_classes": int(num_classes),
@@ -50,6 +78,7 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, Dict]:
     are missing fall back to defaults with a warning from the caller.
     """
     path = os.path.abspath(path)
+    wait_for_saves()
     template = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -73,6 +102,7 @@ def restore_params(path: str) -> Tuple[Dict, Dict]:
     """Inference-side restore: (params+batch_stats pytree, meta). Used by eval/demo
     (the analogue of test.py:76-77 / app_streamlit_demo.py:102-116)."""
     path = os.path.abspath(path)
+    wait_for_saves()
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.join(path, "state"))
     meta = {}
