@@ -100,40 +100,52 @@ def _shift_l(x, step, fill):
     return jnp.concatenate([x[..., step:], pad], axis=-1)
 
 
-def _fwd_chunk_scan(a, b, n_valid=None):
-    """Inclusive forward scan of h_t = a_t h_{t-1} + b_t (h_{-1}=0) over the
-    last axis. Returns (cumprod_a, h): h for zero entry state, plus
-    P_t = prod_{r<=t} a_r so a nonzero entry state applies as h + P * h0.
+def _fwd_chunk_scan(a, b, n_valid=None, h0=None):
+    """Inclusive forward scan of h_t = a_t h_{t-1} + b_t over the last axis.
+
+    The entry state h0 (..., N) is folded into b's first column
+    (b_0' = b_0 + a_0 h0), which makes the cumulative-product chain an
+    internal detail: its final doubling level is skipped (the last level's
+    acc is only consumed by the next x-update, which doesn't exist).
 
     n_valid limits the doubling depth when only a prefix of the chunk holds
     real data (padded tail is identity, so fewer levels suffice)."""
     T = a.shape[-1]
     span = _pow2ceil(min(T, n_valid or T))
+    if h0 is not None:
+        b0 = _col(b, 0) + _col(a, 0) * h0
+        b = jnp.concatenate([b0[..., None], b[..., 1:]], axis=-1)
     x = b
     acc = a
     step = 1
     while step < span:
         x = x + acc * _shift_r(x, step, 0.0)
-        acc = acc * _shift_r(acc, step, 1.0)
         step *= 2
-    return acc, x
+        if step < span:
+            acc = acc * _shift_r(acc, step // 2, 1.0)
+    return x
 
 
-def _bwd_chunk_scan(a, q, n_valid=None):
+def _bwd_chunk_scan(a, q, n_valid=None, carry=None):
     """Reverse scan X_t = q_t + a_{t+1} X_{t+1} (suffix scan, flip-free).
 
-    Returns (Q, X): X for zero boundary, and Q_t = prod_{r=t+1..T-1} a_r so the
-    next-chunk carry c enters as X + Q * c."""
+    The next-chunk carry c (= a_T X_T) folds into q's last column
+    (q_{T-1}' = q_{T-1} + c), so the suffix-product chain skips its final
+    doubling level."""
     T = a.shape[-1]
     span = _pow2ceil(min(T, n_valid or T))
+    if carry is not None:
+        qT = _col(q, -1) + carry
+        q = jnp.concatenate([q[..., :-1], qT[..., None]], axis=-1)
     x = q
     p = _shift_l(a, 1, 1.0)
     step = 1
     while step < span:
         x = x + p * _shift_l(x, step, 0.0)
-        p = p * _shift_l(p, step, 1.0)
         step *= 2
-    return p, x
+        if step < span:
+            p = p * _shift_l(p, step // 2, 1.0)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -170,8 +182,8 @@ def _fwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
         a = jnp.where(valid, a, jnp.asarray(1.0, cdt))
         dbu = jnp.where(valid, dbu, jnp.asarray(0.0, cdt))
 
-    acc_a, acc_h = _fwd_chunk_scan(a, dbu, n_valid=l_valid)
-    h = acc_h + acc_a * h0[..., None].astype(cdt)
+    h = _fwd_chunk_scan(a, dbu, n_valid=l_valid,
+                        h0=h0.astype(cdt))
     y = jnp.sum((h * Cc[:, None]).astype(jnp.float32), axis=2)
     y = y + D_ref[0, 0, :, :] * u
     y_ref[:, 0] = y
@@ -280,16 +292,15 @@ def _bwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
         gy = jnp.where(valid[:, :, 0], gy, 0.0)
 
     # recompute within-chunk h and h_{t-1}
-    acc_a, acc_h = _fwd_chunk_scan(a, dbu, n_valid=l_valid)
-    h = acc_h + acc_a * h0[..., None].astype(cdt)
+    h = _fwd_chunk_scan(a, dbu, n_valid=l_valid, h0=h0.astype(cdt))
     hprev = _shift_r(h, 1, jnp.asarray(0.0, cdt)) + jnp.pad(
         h0[..., None], ((0, 0), (0, 0), (0, 0), (0, h.shape[-1] - 1))
     ).astype(cdt)
 
     # adjoint recurrence dh_t = q_t + a_{t+1} dh_{t+1}, carry = dh_scr
     q = Cc[:, None].astype(cdt) * gy[:, :, None, :].astype(cdt)
-    suffix_p, x = _bwd_chunk_scan(a, q, n_valid=l_valid)
-    dh = x + suffix_p * dh_scr[...][..., None].astype(cdt)
+    dh = _bwd_chunk_scan(a, q, n_valid=l_valid,
+                         carry=dh_scr[...].astype(cdt))
     dh_scr[...] = (_col(a, 0) * _col(dh, 0)).astype(jnp.float32)
 
     dhf = dh.astype(jnp.float32)
