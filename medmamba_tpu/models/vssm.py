@@ -321,13 +321,32 @@ class VSSM(nn.Module):
     dtype: Dtype = jnp.float32
     scan_impl: str = "auto"
 
-    @nn.compact
+    def setup(self):
+        num_layers = len(self.depths)
+        d_state = (math.ceil(self.dims[0] / 6)
+                   if self.d_state is None else self.d_state)
+        self.patch_embed = PatchEmbed2D(
+            patch_size=self.patch_size, embed_dim=self.dims[0],
+            patch_norm=self.patch_norm, dtype=self.dtype)
+        if self.drop_rate > 0.0:
+            self.pos_drop = nn.Dropout(self.drop_rate)
+        dpr = self._stage_dpr()
+        self.layers = [
+            VSSLayer(
+                dim=self.dims[i], depth=self.depths[i], d_state=d_state,
+                attn_drop=self.attn_drop_rate,
+                drop_path=dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])],
+                downsample=i < num_layers - 1,
+                use_checkpoint=self.use_checkpoint, dtype=self.dtype,
+                scan_impl=self.scan_impl)
+            for i in range(num_layers)]
+        self.head = nn.Dense(self.num_classes, kernel_init=trunc_normal_02,
+                             bias_init=nn.initializers.zeros, dtype=self.dtype)
+
     def __call__(self, x, deterministic: bool = True):
         x = self.backbone(x, deterministic)
         x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1) over NHWC
-        x = nn.Dense(self.num_classes, kernel_init=trunc_normal_02,
-                     bias_init=nn.initializers.zeros, dtype=self.dtype,
-                     name="head")(x)
+        x = self.head(x)
         return x.astype(jnp.float32)
 
     @nn.nowrap
@@ -338,23 +357,16 @@ class VSSM(nn.Module):
             return [0.0]
         return [self.drop_path_rate * i / (total - 1) for i in range(total)]
 
+    def forward_backbone(self, x, deterministic: bool = True):
+        """Feature extractor (API parity with VSSM.forward_backbone,
+        MedMamba.py:499-507): usable as ``model.apply(vars, x,
+        method=VSSM.forward_backbone)``. Returns the final NHWC feature map."""
+        return self.backbone(x, deterministic)
+
     def backbone(self, x, deterministic: bool = True):
-        num_layers = len(self.depths)
-        d_state = (math.ceil(self.dims[0] / 6)
-                   if self.d_state is None else self.d_state)
-        x = PatchEmbed2D(patch_size=self.patch_size, embed_dim=self.dims[0],
-                         patch_norm=self.patch_norm, dtype=self.dtype,
-                         name="patch_embed")(x.astype(self.dtype))
+        x = self.patch_embed(x.astype(self.dtype))
         if self.drop_rate > 0.0:
-            x = nn.Dropout(self.drop_rate, name="pos_drop")(x, deterministic)
-        dpr = self._stage_dpr()
-        for i in range(num_layers):
-            x = VSSLayer(
-                dim=self.dims[i], depth=self.depths[i], d_state=d_state,
-                attn_drop=self.attn_drop_rate,
-                drop_path=dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])],
-                downsample=i < num_layers - 1,
-                use_checkpoint=self.use_checkpoint, dtype=self.dtype,
-                scan_impl=self.scan_impl, name=f"layers_{i}",
-            )(x, deterministic)
+            x = self.pos_drop(x, deterministic)
+        for layer in self.layers:
+            x = layer(x, deterministic)
         return x
