@@ -16,6 +16,7 @@ import argparse
 import base64
 import io
 import json
+import os
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 PAGE = """<!doctype html><html><head><title>MedMamba TPU demo</title>
@@ -28,6 +29,10 @@ table{{border-collapse:collapse}} td,th{{padding:4px 10px;border:1px solid #ccc}
 <p><input type="file" name="image" accept="image/*" required>
 Target class (-1 = predicted): <input type="number" name="target" value="-1" style="width:5em">
 <button type="submit">Predict</button></p></form>
+<form method="get" action="/random">
+<p>or pick a random image from a class-folder tree:
+<input type="text" name="folder" placeholder="/path/to/test_dir" style="width:20em">
+<button type="submit">Random image</button></p></form>
 {result}
 </body></html>"""
 
@@ -140,6 +145,35 @@ def main(argv=None):
             self.wfile.write(body)
 
         def do_GET(self):
+            # "random image from a folder tree" source, parity with the
+            # reference app's second image source (app_streamlit_demo.py:248-327)
+            if self.path.startswith("/random"):
+                import random as _random
+                import urllib.parse
+                q = urllib.parse.parse_qs(
+                    urllib.parse.urlparse(self.path).query)
+                folder = (q.get("folder") or [""])[0]
+                exts = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".webp")
+                files = []
+                if folder and os.path.isdir(folder):
+                    for base, _, names in os.walk(folder):
+                        files += [os.path.join(base, n) for n in names
+                                  if n.lower().endswith(exts)]
+                if not files:
+                    self._send(PAGE.format(
+                        result="<p style='color:red'>no images found"
+                               f" under {folder!r}</p>"))
+                    return
+                path = _random.choice(files)
+                with open(path, "rb") as f:
+                    data = f.read()
+                try:
+                    out = (f"<p>random pick: <code>{path}</code></p>"
+                           + render(*infer(data, -1)))
+                except Exception as e:
+                    out = f"<p style='color:red'>error: {e}</p>"
+                self._send(PAGE.format(result=out))
+                return
             self._send(PAGE.format(result=""))
 
         def do_POST(self):

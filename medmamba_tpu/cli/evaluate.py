@@ -26,6 +26,11 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--plot", type=str, default=None)
+    p.add_argument("--imagenet_preproc", action="store_true", default=False,
+                   help="Resize(256)+CenterCrop(224)+ImageNet mean/std, the "
+                        "recipe of the reference ConfusionMatrix driver "
+                        "(ConfusionMatrix/main.py:84-87); default is the "
+                        "training recipe (resize + 0.5/0.5 normalize).")
     return p.parse_args(argv)
 
 
@@ -53,10 +58,22 @@ def main(argv=None):
     variables = {"params": tree["params"],
                  "batch_stats": tree.get("batch_stats", {})}
 
+    imagenet_mean = jnp.asarray([0.485, 0.456, 0.406])
+    imagenet_std = jnp.asarray([0.229, 0.224, 0.225])
+
     @jax.jit
     def forward(images):
-        x = preprocess(jax.random.key(0), images, size=args.image_size,
-                       augment=False)
+        if args.imagenet_preproc:
+            # Resize(256) + CenterCrop(224) + ImageNet normalize
+            b, h, w, c = images.shape
+            x = jax.image.resize(images.astype(jnp.float32),
+                                 (b, 256, 256, c), method="bilinear")
+            off = (256 - args.image_size) // 2
+            x = x[:, off:off + args.image_size, off:off + args.image_size, :]
+            x = (x / 255.0 - imagenet_mean) / imagenet_std
+        else:
+            x = preprocess(jax.random.key(0), images, size=args.image_size,
+                           augment=False)
         return jax.nn.softmax(model.apply(variables, x, True), -1)
 
     cm = ConfusionMatrix(num_classes, labels=labels)
