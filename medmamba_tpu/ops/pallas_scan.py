@@ -43,6 +43,17 @@ def _pow2ceil(x: int) -> int:
     return p
 
 
+def _interpret() -> bool:
+    """Run the kernels in Pallas interpreter mode off-TPU (slow, for testing):
+    lets the CPU test suite exercise the exact kernel code paths."""
+    if os.environ.get("MEDMAMBA_PALLAS_INTERPRET"):
+        return True
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _compute_dtype():
     """Scan-internal compute dtype. float32 by default (parity with the
     reference's forced-fp32 scan core, MedMamba.py:265-271); set
@@ -241,6 +252,7 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int):
             jax.ShapeDtypeStruct((bb, g, dpg, n), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b_blk, dblk, n), jnp.float32)],
+        interpret=_interpret(),
     )(u, delta, B, C, A,
       bias.reshape(g, nd, dblk, 1), D.reshape(g, nd, dblk, 1))
     return y, states, last
@@ -383,6 +395,7 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
             jax.ShapeDtypeStruct((g, nd, dblk, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b_blk, dblk, n), jnp.float32)],
+        interpret=_interpret(),
     )(u, delta, B, C, A,
       bias.reshape(g, nd, dblk, 1), D.reshape(g, nd, dblk, 1), states, gy)
     return (du, ddt, dB_exp.sum(0), dC_exp.sum(0), dA,

@@ -81,3 +81,31 @@ def test_cross_merge_roundtrip():
     merged = cross_merge(xs, h=6, w=4)
     expected = 4.0 * np.transpose(x, (0, 3, 1, 2)).reshape(2, 3, 24)
     np.testing.assert_allclose(np.asarray(merged), expected, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_interpret_mode_on_cpu():
+    """The Pallas kernel logic runs under the interpreter off-TPU, so the
+    fused path is testable without hardware (fwd + grad vs oracle)."""
+    from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+    rng = np.random.default_rng(7)
+    u, delta, A, B, C, D, bias = _make_inputs(rng, b=1, d=8, n=4, l=20, g=2)
+    y_ref = selective_scan_oracle(u, delta, A, B, C, D, bias,
+                                  delta_softplus=True)
+    y = selective_scan_pallas(u, delta, A, B, C, D, delta_bias=bias,
+                              delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-3, atol=3e-3)
+
+    def loss(args):
+        u_, dt_, A_, B_, C_, D_, bias_ = args
+        y = selective_scan_pallas(u_, dt_, A_, B_, C_, D_, delta_bias=bias_,
+                                  delta_softplus=True)
+        return jnp.sum(y * y)
+
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    g_p = jax.grad(loss)(args)
+    g_a = jax.grad(lambda a: jnp.sum(selective_scan_assoc(
+        a[0], a[1], a[2], a[3], a[4], a[5], delta_bias=a[6],
+        delta_softplus=True) ** 2))(args)
+    for gp, ga in zip(g_p, g_a):
+        scale = np.abs(np.asarray(ga)).max() + 1e-6
+        assert np.abs(np.asarray(gp) - np.asarray(ga)).max() / scale < 2e-3
