@@ -138,3 +138,26 @@ def test_folder_dataset(tmp_path):
     imgs, labels = ds.get_batch(np.array([0, 3]))
     assert imgs.shape == (2, 16, 16, 3)
     assert labels.tolist() == [0, 1]
+
+
+def test_training_determinism(tmp_path):
+    """Two runs with identical seeds produce bitwise-identical loss sequences
+    (the analogue of the reference's set_seed determinism, train.py:21-29)."""
+    _write_npz(str(tmp_path), n=32, hw=16)
+    ds = NpzDataset(str(tmp_path), "train")
+
+    def run():
+        model = _tiny_model()
+        tx = make_optimizer(1e-3, npz_mode=True)
+        state = init_state(model, jax.random.key(0), tx,
+                           input_shape=(1, 16, 16, 3))
+        ld = BatchLoader(ds, batch_size=16, shuffle=True, seed=5)
+        losses = []
+        for images, labels in ld.epoch(0):
+            state, loss = train_step(state, jnp.asarray(images),
+                                     jnp.asarray(labels), jax.random.key(2),
+                                     augment=True, image_size=16)
+            losses.append(float(loss))
+        return losses
+
+    assert run() == run()
