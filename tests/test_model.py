@@ -127,3 +127,17 @@ def test_remat_matches_no_remat():
     y1 = m1.apply(vars_, x, True)
     y2 = m2.apply(vars_, x, True)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-6)
+
+
+def test_odd_spatial_sizes():
+    """PatchMerging2D's odd-size crop path (MedMamba.py:96-111 analogue):
+    a 40x40 input gives a 10x10 grid -> 5x5 after one merge (odd) -> the next
+    merge must crop to 2x2 without error."""
+    m = VSSM(num_classes=3, depths=(1, 1, 1), dims=(8, 16, 32), d_state=4,
+             drop_path_rate=0.0, scan_impl="seq")
+    x = jnp.asarray(np.random.default_rng(7)
+                    .standard_normal((1, 40, 40, 3)).astype(np.float32))
+    v = m.init({"params": jax.random.key(0)}, x, True)
+    y = m.apply(v, x, True)
+    assert y.shape == (1, 3)
+    assert np.isfinite(np.asarray(y)).all()
