@@ -33,8 +33,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    size = os.environ.get("BENCH_MODEL", "T")  # T | S | B | Te
 
-    model = create_model("T", num_classes=9, dtype=jnp.bfloat16)
+    model = create_model(size, num_classes=9, dtype=jnp.bfloat16)
     tx = make_optimizer(1e-3, npz_mode=True)
     state = init_state(model, jax.random.key(0), tx)
     mesh = make_mesh()
@@ -78,7 +79,7 @@ def main():
     n_chips = len(jax.devices())
     ips_per_chip = eff_steps * batch / dt / n_chips
     print(json.dumps({
-        "metric": "images/sec/chip, medmamba_t train 224x224 bf16",
+        "metric": f"images/sec/chip, medmamba_{size.lower()} train 224x224 bf16",
         "value": round(ips_per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(ips_per_chip / A100_BASELINE_IMG_PER_SEC, 3),
