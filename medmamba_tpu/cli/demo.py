@@ -27,14 +27,25 @@ table{{border-collapse:collapse}} td,th{{padding:4px 10px;border:1px solid #ccc}
 <h2>MedMamba (TPU-native) inference demo</h2>
 <form method="post" enctype="multipart/form-data">
 <p><input type="file" name="image" accept="image/*" required>
-Target class (-1 = predicted): <input type="number" name="target" value="-1" style="width:5em">
+Grad-CAM target class (-1 = predicted): <input type="number" name="target" value="-1" style="width:5em">
 <button type="submit">Predict</button></p></form>
-<form method="get" action="/random">
-<p>or pick a random image from a class-folder tree:
-<input type="text" name="folder" placeholder="/path/to/test_dir" style="width:20em">
-<button type="submit">Random image</button></p></form>
+{random_form}
 {result}
 </body></html>"""
+
+# Grad-CAM target selection for random picks: ground-truth class (from the
+# image's class folder), predicted class, or a manual index -- the three
+# target modes of the reference app (app_streamlit_demo.py:360-455).
+RANDOM_FORM = """<form method="get" action="/random">
+<p>or pick a random image from the test tree (<code>{test_dir}</code>):
+target =
+<select name="mode">
+<option value="gt">ground-truth (from folder)</option>
+<option value="pred">predicted</option>
+<option value="manual">manual index:</option>
+</select>
+<input type="number" name="target" value="0" style="width:5em">
+<button type="submit">Random image</button></p></form>"""
 
 
 def build_app(args):
@@ -53,6 +64,7 @@ def build_app(args):
     class_indices = meta.get("class_indices") or {}
     idx_to_name = {int(v): str(k) for k, v in class_indices.items()} \
         if class_indices else {}
+    name_to_idx = {str(k): int(v) for k, v in class_indices.items()}
     model = create_model(args.medmb_size, num_classes)
     variables = {"params": tree["params"],
                  "batch_stats": tree.get("batch_stats", {})}
@@ -93,7 +105,18 @@ def build_app(args):
                 f'<img src="data:image/png;base64,{b64(overlay)}">'
                 f"<table><tr><th>class</th><th>prob</th></tr>{rows}</table>")
 
-    return infer, render
+    def class_of(path: str):
+        """Ground-truth class index of a class-folder image: the parent
+        directory name, looked up in class_indices (folder mode) or parsed
+        from the 'class_<v>' convention (NPZ-prep trees)."""
+        folder = os.path.basename(os.path.dirname(path))
+        if folder in name_to_idx:
+            return name_to_idx[folder]
+        if folder.startswith("class_") and folder[6:].isdigit():
+            return int(folder[6:])
+        return None
+
+    return infer, render, class_of
 
 
 def _parse_multipart(body: bytes, content_type: str):
@@ -131,9 +154,21 @@ def main(argv=None):
     p.add_argument("--num_classes", type=int, default=None)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--port", type=int, default=8501)
+    p.add_argument("--host", type=str, default="127.0.0.1",
+                   help="bind address (default loopback; pass 0.0.0.0 "
+                        "explicitly to expose the server)")
+    p.add_argument("--test_dir", type=str, default=None,
+                   help="class-folder tree for the random-image source; "
+                        "fixed at launch (clients cannot request arbitrary "
+                        "filesystem paths)")
     args = p.parse_args(argv)
 
-    infer, render = build_app(args)
+    infer, render, class_of = build_app(args)
+    random_form = (RANDOM_FORM.format(test_dir=args.test_dir)
+                   if args.test_dir else "")
+
+    def page(result=""):
+        return PAGE.format(random_form=random_form, result=result)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, html, code=200):
@@ -146,35 +181,51 @@ def main(argv=None):
 
         def do_GET(self):
             # "random image from a folder tree" source, parity with the
-            # reference app's second image source (app_streamlit_demo.py:248-327)
+            # reference app's second image source (app_streamlit_demo.py:248-327);
+            # the source tree is fixed at launch (--test_dir).
             if self.path.startswith("/random"):
                 import random as _random
                 import urllib.parse
                 q = urllib.parse.parse_qs(
                     urllib.parse.urlparse(self.path).query)
-                folder = (q.get("folder") or [""])[0]
+                mode = (q.get("mode") or ["gt"])[0]
+                try:
+                    manual = int((q.get("target") or ["0"])[0])
+                except ValueError:
+                    manual = 0
                 exts = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".webp")
                 files = []
-                if folder and os.path.isdir(folder):
-                    for base, _, names in os.walk(folder):
+                if args.test_dir and os.path.isdir(args.test_dir):
+                    for base, _, names in os.walk(args.test_dir):
                         files += [os.path.join(base, n) for n in names
                                   if n.lower().endswith(exts)]
                 if not files:
-                    self._send(PAGE.format(
-                        result="<p style='color:red'>no images found"
-                               f" under {folder!r}</p>"))
+                    self._send(page("<p style='color:red'>no images found"
+                                    f" under --test_dir {args.test_dir!r}"
+                                    "</p>"))
                     return
                 path = _random.choice(files)
                 with open(path, "rb") as f:
                     data = f.read()
+                if mode == "manual":
+                    target = manual
+                elif mode == "gt":
+                    target = class_of(path)
+                    if target is None:
+                        target = -1  # folder name unknown -> predicted
+                else:
+                    target = -1
                 try:
-                    out = (f"<p>random pick: <code>{path}</code></p>"
-                           + render(*infer(data, -1)))
+                    gt = class_of(path)
+                    note = (f"<p>random pick: <code>{path}</code>"
+                            + (f" (ground truth: class {gt})"
+                               if gt is not None else "") + "</p>")
+                    out = note + render(*infer(data, target))
                 except Exception as e:
                     out = f"<p style='color:red'>error: {e}</p>"
-                self._send(PAGE.format(result=out))
+                self._send(page(out))
                 return
-            self._send(PAGE.format(result=""))
+            self._send(page())
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", "0"))
@@ -185,13 +236,13 @@ def main(argv=None):
                 out = render(*infer(data, target))
             except Exception as e:  # surface errors in the page
                 out = f"<p style='color:red'>error: {e}</p>"
-            self._send(PAGE.format(result=out))
+            self._send(page(out))
 
         def log_message(self, *a):
             pass
 
-    srv = HTTPServer(("0.0.0.0", args.port), Handler)
-    print(f"MedMamba demo listening on http://localhost:{args.port}")
+    srv = HTTPServer((args.host, args.port), Handler)
+    print(f"MedMamba demo listening on http://{args.host}:{args.port}")
     srv.serve_forever()
 
 

@@ -80,7 +80,10 @@ def main(argv=None):
     loader = BatchLoader(ds, args.batch_size, shuffle=False)
     for images, trues in loader.epoch(0):
         probs = np.asarray(forward(jnp.asarray(images)))
-        cm.update(probs.argmax(1), trues, probs)
+        # The loader pads the final partial batch with label -1 (single static
+        # shape -> one XLA compile); padded rows must not enter the metrics.
+        valid = trues >= 0
+        cm.update(probs.argmax(1)[valid], trues[valid], probs[valid])
 
     print(cm.summary())
     if args.plot:

@@ -27,6 +27,12 @@ def parse_args(argv=None):
     p.add_argument("--num_images", type=int, default=10)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--target_layers", type=str, nargs="*", default=None,
+                   help="one or more dotted module paths (e.g. "
+                        "layers_3.blocks_1.conv1x1); CAMs from multiple "
+                        "layers are scaled and averaged "
+                        "(grad_cam/utils.py:112-116). Default: the last "
+                        "conv1x1 of the conv branch (test.py:101).")
     return p.parse_args(argv)
 
 
@@ -79,7 +85,10 @@ def main(argv=None):
         pred = int(probs.argmax())
         conf = float(probs[pred])
 
-        cam = grad_cam(model, variables, x, target_class=np.array([pred]))[0]
+        tpaths = ([p.split(".") for p in args.target_layers]
+                  if args.target_layers else None)
+        cam = grad_cam(model, variables, x, target_class=np.array([pred]),
+                       target_paths=tpaths)[0]
         overlay = show_cam_on_image(np.asarray(img, np.float32) / 255.0, cam)
 
         fig, axes = plt.subplots(1, 2, figsize=(9, 4.5))

@@ -44,6 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--attn_drop_rate", type=float, default=0.0)
     # TPU-native extensions (defaults preserve reference behavior)
     p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--load_size", type=int, default=None,
+                   help="ImageFolder decode resolution (default: image_size). "
+                        "Larger values run flip/rotate augmentation closer to "
+                        "native resolution, like the reference's transform "
+                        "order (train.py:90-96).")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--scan_impl", type=str, default="auto",
@@ -52,6 +57,9 @@ def parse_args(argv=None):
                    help="Activation rematerialization per block (jax.checkpoint).")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="If set, capture a jax.profiler trace of a few steps.")
+    p.add_argument("--log_every", type=int, default=1,
+                   help="Per-step progress line frequency (0 disables; the "
+                        "reference shows live loss via tqdm, train.py:275-288).")
     return p.parse_args(argv)
 
 
@@ -86,8 +94,9 @@ def main(argv=None):
         lr = args.lr or 1e-4
         lr_decay_epochs = []
 
-    train_ds, _ = open_dataset(args.train_dir, "train", load_size=args.image_size)
-    val_ds, _ = open_dataset(args.val_dir, "val", load_size=args.image_size)
+    load_size = args.load_size or args.image_size
+    train_ds, _ = open_dataset(args.train_dir, "train", load_size=load_size)
+    val_ds, _ = open_dataset(args.val_dir, "val", load_size=load_size)
     num_classes = train_ds.get_num_classes()
     class_indices = train_ds.get_class_to_idx()
     if not npz_mode:
@@ -144,30 +153,50 @@ def main(argv=None):
     epochs_without_improvement = 0
     final_epoch = start_epoch - 1
 
+    from collections import deque
+
+    from medmamba_tpu.data.loader import device_prefetch
+
     for epoch in range(start_epoch, epochs + 1):
         final_epoch = epoch
         t0 = time.time()
         running_loss, nsteps = 0.0, 0
-        for images, labels in train_loader.epoch(epoch):
+        pending = deque()  # device losses; fetched 2 steps late so the host
+        # stays ahead of the device (dispatch + H2D overlap compute)
+        for images, labels in device_prefetch(
+                train_loader.epoch(epoch),
+                lambda im, lb: shard_batch(mesh, im, lb)):
             if (args.profile_dir and epoch == start_epoch and nsteps == 2):
                 jax.profiler.start_trace(args.profile_dir)
-            images, labels = shard_batch(mesh, images, labels)
             state, loss = train_step(state, images, labels, data_rng,
                                      augment=args.augmentation,
                                      image_size=args.image_size)
-            running_loss += float(loss)
+            pending.append(loss)
             nsteps += 1
+            if len(pending) > 2:
+                lval = float(pending.popleft())
+                running_loss += lval
+                if args.log_every and nsteps % args.log_every == 0:
+                    print(f"\rtrain epoch[{epoch}/{epochs}] "
+                          f"step {nsteps}/{steps_per_epoch} "
+                          f"loss:{lval:.3f}", end="", flush=True)
             if (args.profile_dir and epoch == start_epoch and nsteps == 5):
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
                 log.info("profiler trace written to %s", args.profile_dir)
+        while pending:
+            running_loss += float(pending.popleft())
+        if args.log_every:
+            print()
         train_time = time.time() - t0
 
-        correct = 0
-        for images, labels in val_loader.epoch(0):
-            images, labels = shard_batch(mesh, images, labels)
+        correct_dev = None  # accumulate on device; one host sync per epoch
+        for images, labels in device_prefetch(
+                val_loader.epoch(0),
+                lambda im, lb: shard_batch(mesh, im, lb)):
             c, _ = eval_step(state, images, labels, image_size=args.image_size)
-            correct += int(c)
+            correct_dev = c if correct_dev is None else correct_dev + c
+        correct = int(correct_dev) if correct_dev is not None else 0
         val_acc = correct / len(val_ds)
         avg_loss = running_loss / max(nsteps, 1)
         ips = nsteps * batch_size / train_time if train_time > 0 else 0.0
@@ -186,7 +215,8 @@ def main(argv=None):
                                  class_indices=class_indices)
             log.info("New best checkpoint saved to %s (acc %.3f)", new_best, best_acc)
             if best_path and best_path != new_best:
-                ckpt.delete_checkpoint(best_path)
+                # defer: the old best stays on disk until the new save commits
+                ckpt.delete_checkpoint_after_commit(best_path)
             best_path = new_best
         else:
             epochs_without_improvement += 1

@@ -59,7 +59,10 @@ class NpzDataset:
         return int(len(np.unique(self.labels)))
 
     def get_class_to_idx(self) -> Dict[str, int]:
-        return {f"class_{i}": i for i in range(self.get_num_classes())}
+        # Mirror the reference (datasets.py:52-54): classes are named by the
+        # actual unique label values, which matters when labels are
+        # non-contiguous (e.g. a subset split keeping original ids).
+        return {f"class_{int(v)}": int(v) for v in np.unique(self.labels)}
 
 
 class FolderDataset:

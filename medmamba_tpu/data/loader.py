@@ -8,11 +8,29 @@ the uint8 index-gather runs there, off the GIL.
 """
 from __future__ import annotations
 
+import collections
 import queue
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Callable, Iterator, Optional, Tuple
 
 import numpy as np
+
+
+def device_prefetch(iterator: Iterator, put_fn: Callable, depth: int = 2):
+    """Yield device-resident batches, transferring ``depth`` batches ahead.
+
+    ``put_fn(*host_batch)`` performs the (async) host->device transfer (e.g.
+    ``shard_batch``). Keeping ``depth`` transfers in flight overlaps H2D DMA
+    for batch N+1 with compute of step N -- the analogue of the reference's
+    ``pin_memory=True`` + CUDA-stream overlap (train.py:166-170).
+    """
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(put_fn(*item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
 
 
 class BatchLoader:
@@ -54,6 +72,17 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checking_stop(item) -> bool:
+            # A plain q.put can block forever if the consumer abandoned the
+            # generator (stop is only observable between puts); poll instead.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for i in range(nb):
@@ -67,9 +96,12 @@ class BatchLoader:
                             [imgs, np.repeat(imgs[-1:], pad, 0)], 0)
                         labels = np.concatenate(
                             [labels, np.full((pad,), -1, labels.dtype)], 0)
-                    q.put((imgs, labels))
-            finally:
-                q.put(None)
+                    if not put_checking_stop((imgs, labels)):
+                        return
+            except BaseException as e:  # surface loader errors to the consumer
+                put_checking_stop(e)
+            else:
+                put_checking_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -78,6 +110,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

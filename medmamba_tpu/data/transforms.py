@@ -4,9 +4,17 @@ torchvision per-item transform pipelines selected at train.py:87-114).
 Reference train pipeline (augmentation on): RandomHorizontalFlip -> RandomRotation(10)
 -> Resize(224,224) -> ToTensor -> Normalize(mean=std=0.5). Eval: Resize -> ToTensor
 -> Normalize. Here the same ops run as one fused jitted function over the whole
-uint8 batch on device: flip/rotate at native resolution, bilinear resize, then
-``x/127.5 - 1`` normalization. RandomRotation uses nearest resampling with zero
-fill, matching the torchvision default interpolation.
+uint8 batch on device: flip/rotate at the batch's resolution, bilinear resize,
+then ``x/127.5 - 1`` normalization. RandomRotation uses nearest resampling with
+zero fill, matching the torchvision default interpolation.
+
+Resolution note: in NPZ mode batches arrive at native resolution (e.g. 28x28
+MedMNIST), so flip/rotate run at native resolution exactly like the reference.
+In ImageFolder mode images are decoded at ``load_size`` (default = the target
+size) for static batch shapes, so rotation happens post-decode-resize -- a
+deliberate deviation from the reference's rotate-at-native-then-resize order
+(train.py:90-96); pass a larger ``--load_size`` to rotate closer to native
+resolution at the cost of host decode bandwidth.
 """
 from __future__ import annotations
 

@@ -34,6 +34,7 @@ def default_target_path(model) -> Tuple[str, ...]:
 def grad_cam(model, variables, images: jnp.ndarray,
              target_class: Optional[jnp.ndarray] = None,
              target_path: Optional[Sequence[str]] = None,
+             target_paths: Optional[Sequence[Sequence[str]]] = None,
              reshape_transform=None) -> np.ndarray:
     """Compute Grad-CAM heatmaps.
 
@@ -41,33 +42,39 @@ def grad_cam(model, variables, images: jnp.ndarray,
     (use predicted class, like test.py:121). reshape_transform maps a
     token-shaped activation to NHWC (the analogue of the reference's
     reshape_transform for ViT/Swin, grad_cam/main_vit.py:11-30).
+    ``target_paths`` takes a *list* of target layers whose per-layer CAMs are
+    min-max scaled and averaged (grad_cam/utils.py:112-116 semantics);
+    ``target_path`` is the single-layer shorthand.
     Returns (B, H, W) float32 in [0, 1].
     """
-    target_path = tuple(target_path or default_target_path(model))
+    if target_paths is None:
+        target_paths = [target_path or default_target_path(model)]
+    paths = tuple(tuple(p) for p in target_paths)
     b, h_in, w_in, _ = images.shape
 
     # One jitted program computes everything (eager dispatch would pay a
     # device round trip per op -- catastrophic over a remote TPU tunnel).
-    # Shape of the target activation is discovered abstractly first.
+    # Shapes of the target activations are discovered abstractly first.
     def fwd_with_capture(variables, images):
         cell = {}
 
         def capture(next_fn, args, kwargs, context):
             out = next_fn(*args, **kwargs)
-            if context.module.path == target_path:
-                cell["act"] = out
+            if context.module.path in paths:
+                cell[context.module.path] = out
             return out
 
         with nn.intercept_methods(capture):
             logits = model.apply(variables, images, True)
-        if "act" not in cell:
-            raise ValueError(f"target path {target_path} not found in model")
-        return logits, cell["act"]
+        missing = [p for p in paths if p not in cell]
+        if missing:
+            raise ValueError(f"target path(s) {missing} not found in model")
+        return logits, tuple(cell[p] for p in paths)
 
-    act_shape = jax.eval_shape(fwd_with_capture, variables, images)[1]
+    act_shapes = jax.eval_shape(fwd_with_capture, variables, images)[1]
 
-    cache_key = (model, target_path, reshape_transform, images.shape,
-                 act_shape.shape, str(act_shape.dtype))
+    cache_key = (model, paths, reshape_transform, images.shape,
+                 tuple((s.shape, str(s.dtype)) for s in act_shapes))
     if cache_key in _CAM_CACHE:
         cam, _logits = _CAM_CACHE[cache_key](variables, images,
                                              jnp.asarray(target_class)
@@ -76,37 +83,43 @@ def grad_cam(model, variables, images: jnp.ndarray,
                                                            images))
         return np.asarray(cam, np.float32)
 
+    def _scale(cam):  # per-image min-max rescale (grad_cam/utils.py:118-127)
+        lo = jnp.min(cam, axis=(1, 2), keepdims=True)
+        cam = cam - lo
+        return cam / (1e-7 + jnp.max(cam, axis=(1, 2), keepdims=True))
+
     @jax.jit
     def cam_program(variables, images, target_class):
-        def loss_fn(delta):
+        def loss_fn(deltas):
             cell = {}
 
             def inject(next_fn, args, kwargs, context):
                 out = next_fn(*args, **kwargs)
-                if context.module.path == target_path:
-                    out = out + delta
-                    cell["act"] = out
+                if context.module.path in paths:
+                    out = out + deltas[paths.index(context.module.path)]
+                    cell[context.module.path] = out
                 return out
 
             with nn.intercept_methods(inject):
                 logits = model.apply(variables, images, True)
             loss = jnp.sum(jnp.take_along_axis(
                 logits, target_class[:, None], axis=-1))
-            return loss, (cell["act"], logits)
+            return loss, (tuple(cell[p] for p in paths), logits)
 
-        zeros = jnp.zeros(act_shape.shape, act_shape.dtype)
-        grads, (act, logits) = jax.grad(loss_fn, has_aux=True)(zeros)
+        zeros = tuple(jnp.zeros(s.shape, s.dtype) for s in act_shapes)
+        grads, (acts, logits) = jax.grad(loss_fn, has_aux=True)(zeros)
 
-        if reshape_transform is not None:
-            grads = reshape_transform(grads)
-            act = reshape_transform(act)
-
-        weights = jnp.mean(grads, axis=(1, 2), keepdims=True)    # (B,1,1,C)
-        cam = jnp.maximum(jnp.sum(weights * act, axis=-1), 0.0)  # (B,h,w)
-        cam = jax.image.resize(cam, (b, h_in, w_in), method="bilinear")
-        lo = jnp.min(cam, axis=(1, 2), keepdims=True)
-        hi = jnp.max(cam, axis=(1, 2), keepdims=True)
-        return (cam - lo) / jnp.maximum(hi - lo, 1e-7), logits
+        cams = []
+        for g, act in zip(grads, acts):
+            if reshape_transform is not None:
+                g = reshape_transform(g)
+                act = reshape_transform(act)
+            weights = jnp.mean(g, axis=(1, 2), keepdims=True)        # (B,1,1,C)
+            cam = jnp.maximum(jnp.sum(weights * act, axis=-1), 0.0)  # (B,h,w)
+            cam = jax.image.resize(cam, (b, h_in, w_in), method="bilinear")
+            cams.append(_scale(cam))
+        # multi-layer aggregation: mean of scaled CAMs, rescaled
+        return _scale(jnp.mean(jnp.stack(cams, 1), axis=1)), logits
 
     _CAM_CACHE[cache_key] = cam_program
     if target_class is None:

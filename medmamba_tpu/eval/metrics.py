@@ -64,7 +64,7 @@ class ConfusionMatrix:
         aucs = []
         for k in range(self.num_classes):
             pos = trues == k
-            if pos.all() or (~pos).any() is False or pos.sum() == 0:
+            if pos.all() or pos.sum() == 0:  # AUC undefined without both classes
                 continue
             aucs.append(_binary_auc(probs[:, k], pos))
         return float(np.mean(aucs)) if aucs else None

@@ -24,6 +24,7 @@ from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from medmamba_tpu.ops.cross_scan import cross_scan, cross_merge
@@ -62,6 +63,21 @@ def dt_bias_init(dt_min: float = 1e-3, dt_max: float = 0.1, floor: float = 1e-4)
     return init
 
 
+def x_proj_init(d_inner: int):
+    """torch nn.Linear default init: kaiming-uniform(a=sqrt(5)) == U(+/- fan_in^-0.5).
+
+    In the reference the stacked x_proj parameter is a raw nn.Parameter built
+    from nn.Linear weights (MedMamba.py:164-171) and therefore escapes
+    VSSM._init_weights -- it keeps the torch Linear default, not trunc-normal.
+    """
+    bound = d_inner ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
 def a_log_init(key, shape, dtype=jnp.float32):
     """S4D-real init: log(1..N) tiled over channels (MedMamba.py:220-235).
 
@@ -92,6 +108,59 @@ class DropPath(nn.Module):
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm (feature axis -1) with an optional per-sample validity mask.
+
+    Parameter / batch_stats structure and semantics match
+    ``flax.linen.BatchNorm(momentum, epsilon)`` exactly when ``mask is None``.
+    With a mask, batch statistics are computed only over mask-valid batch
+    elements: the reference never pads batches (its torch DataLoader just
+    yields a smaller final batch, train.py:166-170), while this framework pads
+    the final partial batch to keep one static XLA shape -- padded duplicate
+    rows must not bias the running statistics.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            red = tuple(range(x.ndim - 1))
+            if mask is None:
+                mean = jnp.mean(xf, axis=red)
+                var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+            else:
+                w = mask.astype(jnp.float32).reshape(
+                    (x.shape[0],) + (1,) * (x.ndim - 1))
+                per_sample = float(np.prod(x.shape[1:-1]))
+                cnt = jnp.maximum(jnp.sum(w) * per_sample, 1.0)
+                mean = jnp.sum(xf * w, axis=red) / cnt
+                var = jnp.sum(jnp.square(xf) * w, axis=red) / cnt \
+                    - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(self.dtype) - mean.astype(self.dtype)) \
+            * inv.astype(self.dtype) + bias.astype(self.dtype)
+        return y
 
 
 class PatchEmbed2D(nn.Module):
@@ -184,7 +253,7 @@ class SS2D(nn.Module):
         xs = cross_scan(x)  # (B, K, D, L)
 
         x_proj_weight = self.param(
-            "x_proj_weight", trunc_normal_02, (k, dt_rank + 2 * n, d_inner))
+            "x_proj_weight", x_proj_init(d_inner), (k, dt_rank + 2 * n, d_inner))
         dt_projs_weight = self.param(
             "dt_projs_weight", dt_weight_init(dt_rank), (k, d_inner, dt_rank))
         dt_projs_bias = self.param("dt_projs_bias", dt_bias_init(), (k, d_inner))
@@ -240,7 +309,8 @@ class SSConvSSM(nn.Module):
     scan_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):  # (B, H, W, C)
+    def __call__(self, x, deterministic: bool = True,
+                 mask: Optional[jnp.ndarray] = None):  # (B, H, W, C)
         half = self.hidden_dim // 2
         left, right = jnp.split(x, 2, axis=-1)
 
@@ -250,19 +320,19 @@ class SSConvSSM(nn.Module):
                  name="self_attention")(r, deterministic=deterministic)
         r = DropPath(self.drop_path, name="drop_path")(r, deterministic=deterministic)
 
-        bn = lambda nm: nn.BatchNorm(use_running_average=deterministic,
-                                     momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                                     name=nm)
+        bn = lambda nm: MaskedBatchNorm(use_running_average=deterministic,
+                                        momentum=0.9, epsilon=1e-5,
+                                        dtype=self.dtype, name=nm)
         conv = lambda kxk, nm: nn.Conv(half, (kxk, kxk), padding="SAME",
                                        kernel_init=kaiming_fan_out,
                                        bias_init=nn.initializers.zeros,
                                        dtype=self.dtype, name=nm)
-        c = bn("conv_bn0")(left)
+        c = bn("conv_bn0")(left, mask)
         c = conv(3, "conv3x3_0")(c)
-        c = bn("conv_bn1")(c)
+        c = bn("conv_bn1")(c, mask)
         c = nn.relu(c)
         c = conv(3, "conv3x3_1")(c)
-        c = bn("conv_bn2")(c)
+        c = bn("conv_bn2")(c, mask)
         c = nn.relu(c)
         c = conv(1, "conv1x1")(c)
         c = nn.relu(c)
@@ -286,7 +356,8 @@ class VSSLayer(nn.Module):
     scan_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 mask: Optional[jnp.ndarray] = None):
         block_cls = SSConvSSM
         if self.use_checkpoint:
             block_cls = nn.remat(SSConvSSM, static_argnums=(2,))
@@ -296,7 +367,7 @@ class VSSLayer(nn.Module):
                 hidden_dim=self.dim, drop_path=dp, attn_drop_rate=self.attn_drop,
                 d_state=self.d_state, dtype=self.dtype, scan_impl=self.scan_impl,
                 name=f"blocks_{i}",
-            )(x, deterministic)
+            )(x, deterministic, mask)
         if self.downsample:
             x = PatchMerging2D(dtype=self.dtype, name="downsample")(x)
         return x
@@ -343,8 +414,9 @@ class VSSM(nn.Module):
         self.head = nn.Dense(self.num_classes, kernel_init=trunc_normal_02,
                              bias_init=nn.initializers.zeros, dtype=self.dtype)
 
-    def __call__(self, x, deterministic: bool = True):
-        x = self.backbone(x, deterministic)
+    def __call__(self, x, deterministic: bool = True,
+                 mask: Optional[jnp.ndarray] = None):
+        x = self.backbone(x, deterministic, mask)
         x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1) over NHWC
         x = self.head(x)
         return x.astype(jnp.float32)
@@ -363,10 +435,11 @@ class VSSM(nn.Module):
         method=VSSM.forward_backbone)``. Returns the final NHWC feature map."""
         return self.backbone(x, deterministic)
 
-    def backbone(self, x, deterministic: bool = True):
+    def backbone(self, x, deterministic: bool = True,
+                 mask: Optional[jnp.ndarray] = None):
         x = self.patch_embed(x.astype(self.dtype))
         if self.drop_rate > 0.0:
             x = self.pos_drop(x, deterministic)
         for layer in self.layers:
-            x = layer(x, deterministic)
+            x = layer(x, deterministic, mask)
         return x

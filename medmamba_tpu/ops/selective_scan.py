@@ -56,12 +56,6 @@ def _prepare(u, delta, A, B, C, D, delta_bias, delta_softplus):
     return u, delta, A, B, C, D
 
 
-def _group_view(x, dim, n_groups):
-    """(B, G, N, L) -> (B, G, D//G, N, L)-broadcastable view helper."""
-    # callers reshape channel axes; this is a no-op marker for readability
-    return x
-
-
 def selective_scan_seq(
     u: jax.Array,
     delta: jax.Array,

@@ -22,6 +22,12 @@ def _meta_path(path: str) -> str:
 
 
 _ASYNC_CKPTR: Optional["ocp.AsyncCheckpointer"] = None
+# Crash-safe lifecycle: saves land in <path>.tmp and are *promoted* to <path>
+# only after the (possibly async) write committed; deletions of superseded
+# checkpoints are likewise deferred until the replacement committed. A crash
+# at any point leaves at least one complete checkpoint directory on disk.
+_PENDING_PROMOTES: list = []   # (tmp_path, final_path)
+_PENDING_DELETES: list = []
 
 
 def _async_checkpointer():
@@ -31,10 +37,30 @@ def _async_checkpointer():
     return _ASYNC_CKPTR
 
 
+def _finalize_pending() -> None:
+    while _PENDING_PROMOTES:
+        tmp, final = _PENDING_PROMOTES.pop(0)
+        old = final + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(final):
+            os.rename(final, old)  # keep the previous version until committed
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    while _PENDING_DELETES:
+        p = _PENDING_DELETES.pop(0)
+        for cand in (p, p + ".tmp", p + ".old"):
+            if cand and os.path.exists(cand):
+                shutil.rmtree(cand)
+
+
 def wait_for_saves() -> None:
-    """Block until any in-flight async checkpoint save completes."""
+    """Block until any in-flight async checkpoint save completes, then promote
+    committed saves to their final paths and apply deferred deletions."""
     if _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
+    _finalize_pending()
 
 
 def save_checkpoint(path: str, state, *, epoch: int, best_acc: float,
@@ -46,12 +72,16 @@ def save_checkpoint(path: str, state, *, epoch: int, best_acc: float,
     arrays are snapshotted to host, then serialization overlaps with the next
     epoch's compute instead of stalling the step loop (the reference's
     torch.save is synchronous; at small-epoch scales the save dominated the
-    epoch). Consumers that immediately reload should call wait_for_saves().
+    epoch). The write goes to ``path + ".tmp"`` and is atomically renamed to
+    ``path`` once committed (on the next wait_for_saves/save/restore call), so
+    a crash mid-save never destroys the previous checkpoint. Consumers that
+    immediately reload should call wait_for_saves().
     """
     path = os.path.abspath(path)
-    wait_for_saves()  # one save in flight at a time; also makes rmtree safe
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    wait_for_saves()  # one save in flight at a time; drains pending promotes
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -59,16 +89,28 @@ def save_checkpoint(path: str, state, *, epoch: int, best_acc: float,
         "step": state.step,
     }
     if async_save:
-        _async_checkpointer().save(os.path.join(path, "state"), payload)
+        _async_checkpointer().save(os.path.join(tmp, "state"), payload)
     else:
         with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(os.path.join(path, "state"), payload)
-    with open(_meta_path(path), "w") as f:
+            ckptr.save(os.path.join(tmp, "state"), payload)
+    with open(_meta_path(tmp), "w") as f:
         json.dump({"epoch": int(epoch), "best_acc": float(best_acc),
                    "num_classes": int(num_classes),
                    "class_indices": {str(k): int(v)
                                       for k, v in class_indices.items()}}, f,
                   indent=4)
+    _PENDING_PROMOTES.append((tmp, path))
+    if not async_save:
+        _finalize_pending()
+
+
+def delete_checkpoint_after_commit(path: str) -> None:
+    """Defer deletion of a superseded checkpoint until the save that replaces
+    it has committed (train.py:321-339 deletes the old best immediately; doing
+    that while the new best is still being written would leave a crash window
+    with no valid checkpoint)."""
+    if path:
+        _PENDING_DELETES.append(os.path.abspath(path))
 
 
 def restore_checkpoint(path: str, state) -> Tuple[Any, Dict]:
@@ -77,8 +119,7 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, Dict]:
     Mirrors the graceful per-part resume of train.py:208-260: metadata keys that
     are missing fall back to defaults with a warning from the caller.
     """
-    path = os.path.abspath(path)
-    wait_for_saves()
+    path = _resolve_read_path(os.path.abspath(path))
     template = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -101,8 +142,7 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, Dict]:
 def restore_params(path: str) -> Tuple[Dict, Dict]:
     """Inference-side restore: (params+batch_stats pytree, meta). Used by eval/demo
     (the analogue of test.py:76-77 / app_streamlit_demo.py:102-116)."""
-    path = os.path.abspath(path)
-    wait_for_saves()
+    path = _resolve_read_path(os.path.abspath(path))
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.join(path, "state"))
     meta = {}
@@ -112,9 +152,23 @@ def restore_params(path: str) -> Tuple[Dict, Dict]:
     return restored, meta
 
 
+def _resolve_read_path(path: str) -> str:
+    """Pick the newest complete checkpoint dir for ``path``: after a crash the
+    data may still live at ``path + ".old"`` (promotion interrupted) or
+    ``path + ".tmp"`` (committed but never promoted, e.g. killed process)."""
+    wait_for_saves()
+    if os.path.exists(path):
+        return path
+    for suffix in (".old", ".tmp"):
+        if os.path.exists(path + suffix):
+            return path + suffix
+    return path
+
+
 def delete_checkpoint(path: str) -> None:
-    if path and os.path.exists(path):
-        shutil.rmtree(path)
+    for cand in (path, path + ".tmp", path + ".old") if path else ():
+        if os.path.exists(cand):
+            shutil.rmtree(cand)
 
 
 def save_class_indices(save_dir: str, class_indices: Dict) -> str:

@@ -98,11 +98,14 @@ def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
     rng = jax.random.fold_in(rng, state.step)
     k_aug, k_drop = jax.random.split(rng)
     x = preprocess(k_aug, images, size=image_size, augment=augment)
+    # Padded rows (label -1) are masked out of the loss AND of the BatchNorm
+    # batch statistics (the reference runs a smaller final batch instead).
+    mask = labels >= 0
 
     def loss_fn(params):
         outs, updates = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
-            x, False, rngs={"dropout": k_drop}, mutable=["batch_stats"])
+            x, False, mask, rngs={"dropout": k_drop}, mutable=["batch_stats"])
         return cross_entropy(outs, labels), updates["batch_stats"]
 
     (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

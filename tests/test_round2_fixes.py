@@ -1,0 +1,207 @@
+"""Regression tests for the round-2 correctness fixes (VERDICT.md / ADVICE.md):
+
+* padded batch rows must not bias BatchNorm statistics;
+* checkpoint saves must be crash-safe (tmp + promote, deferred deletes);
+* BatchLoader must not deadlock on abandoned epochs and must surface errors;
+* NpzDataset class naming follows actual label values (reference datasets.py:52-54);
+* x_proj init matches the torch nn.Linear default the reference actually uses.
+"""
+import os
+import time
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from medmamba_tpu.data.datasets import NpzDataset
+from medmamba_tpu.data.loader import BatchLoader
+from medmamba_tpu.models.vssm import SS2D, MaskedBatchNorm, VSSM
+from medmamba_tpu.train import checkpoint as ckpt
+from medmamba_tpu.train.trainer import init_state, make_optimizer, train_step
+
+
+# ---------------------------------------------------------------------------
+# MaskedBatchNorm
+# ---------------------------------------------------------------------------
+
+def test_masked_batchnorm_matches_flax_without_mask():
+    import flax.linen as nn
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 5, 5, 3)).astype(np.float32))
+    ours = MaskedBatchNorm(use_running_average=False)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    vo = ours.init(jax.random.key(0), x)
+    vr = ref.init(jax.random.key(0), x)
+    yo, so = ours.apply(vo, x, mutable=["batch_stats"])
+    yr, sr = ref.apply(vr, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yo), np.asarray(yr), atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(so["batch_stats"][k]),
+            np.asarray(sr["batch_stats"][k]), atol=1e-5)
+
+
+def test_masked_batchnorm_ignores_padded_rows():
+    rng = np.random.default_rng(1)
+    x_valid = rng.standard_normal((3, 4, 4, 2)).astype(np.float32)
+    junk = 100.0 * np.ones((1, 4, 4, 2), np.float32)
+    x_pad = jnp.asarray(np.concatenate([x_valid, junk], 0))
+    mask = jnp.asarray([True, True, True, False])
+
+    bn = MaskedBatchNorm(use_running_average=False)
+    v = bn.init(jax.random.key(0), x_pad, mask)
+    _, s_masked = bn.apply(v, x_pad, mask, mutable=["batch_stats"])
+    _, s_clean = bn.apply(v, jnp.asarray(x_valid), mutable=["batch_stats"])
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(s_masked["batch_stats"][k]),
+            np.asarray(s_clean["batch_stats"][k]), rtol=1e-5, atol=1e-5)
+
+
+def test_train_step_batch_stats_unaffected_by_padding():
+    model = VSSM(num_classes=2, depths=(1,), dims=(8,), d_state=4,
+                 drop_path_rate=0.0, scan_impl="seq")
+    tx = make_optimizer(1e-3, npz_mode=True)
+    # two identical states: train_step donates its input state
+    state = init_state(model, jax.random.key(0), tx, input_shape=(1, 16, 16, 3))
+    state_b = init_state(model, jax.random.key(0), tx,
+                         input_shape=(1, 16, 16, 3))
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 255, (3, 16, 16, 3), dtype=np.uint8)
+    lbls = np.array([0, 1, 0], np.int64)
+    # padded variant: repeat last image with label -1 (what the loader does)
+    imgs_p = np.concatenate([imgs, np.repeat(imgs[-1:], 1, 0)], 0)
+    lbls_p = np.concatenate([lbls, [-1]], 0)
+
+    s1, loss1 = train_step(state, jnp.asarray(imgs), jnp.asarray(lbls),
+                           jax.random.key(1), augment=False, image_size=16)
+    s2, loss2 = train_step(state_b, jnp.asarray(imgs_p), jnp.asarray(lbls_p),
+                           jax.random.key(1), augment=False, image_size=16)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Crash-safe checkpointing
+# ---------------------------------------------------------------------------
+
+def _tiny_state():
+    model = VSSM(num_classes=2, depths=(1,), dims=(8,), d_state=4,
+                 drop_path_rate=0.0, scan_impl="seq")
+    tx = make_optimizer(1e-3, npz_mode=True)
+    return model, init_state(model, jax.random.key(0), tx,
+                             input_shape=(1, 16, 16, 3))
+
+
+def test_checkpoint_promote_preserves_old_until_commit(tmp_path):
+    _, state = _tiny_state()
+    path = os.path.join(str(tmp_path), "best")
+    ckpt.save_checkpoint(path, state, epoch=1, best_acc=0.1, num_classes=2,
+                         class_indices={"a": 0, "b": 1}, async_save=False)
+    assert os.path.exists(path)
+
+    # second save to the SAME path: during the async write the original
+    # checkpoint directory must still exist (no rmtree-before-save window)
+    state2 = state.replace(step=state.step + 1)
+    ckpt.save_checkpoint(path, state2, epoch=2, best_acc=0.2, num_classes=2,
+                         class_indices={"a": 0, "b": 1}, async_save=True)
+    assert os.path.exists(path), "previous checkpoint destroyed mid-save"
+    ckpt.wait_for_saves()  # commit + promote
+    _, meta = ckpt.restore_checkpoint(path, state)
+    assert meta["epoch"] == 2
+
+
+def test_checkpoint_restore_falls_back_to_uncommitted_tmp(tmp_path):
+    _, state = _tiny_state()
+    path = os.path.join(str(tmp_path), "crashy")
+    ckpt.save_checkpoint(path, state, epoch=3, best_acc=0.3, num_classes=2,
+                         class_indices={"a": 0}, async_save=False)
+    # simulate a crash after the write committed but before promotion
+    os.rename(path, path + ".tmp")
+    restored, meta = ckpt.restore_checkpoint(path, state)
+    assert meta["epoch"] == 3
+
+
+def test_deferred_delete_waits_for_commit(tmp_path):
+    _, state = _tiny_state()
+    old = os.path.join(str(tmp_path), "best_old")
+    new = os.path.join(str(tmp_path), "best_new")
+    ckpt.save_checkpoint(old, state, epoch=1, best_acc=0.1, num_classes=2,
+                         class_indices={"a": 0}, async_save=False)
+    ckpt.save_checkpoint(new, state, epoch=2, best_acc=0.2, num_classes=2,
+                         class_indices={"a": 0}, async_save=True)
+    ckpt.delete_checkpoint_after_commit(old)
+    assert os.path.exists(old), "old best deleted before the new one committed"
+    ckpt.wait_for_saves()
+    assert not os.path.exists(old)
+    assert os.path.exists(new)
+
+
+# ---------------------------------------------------------------------------
+# BatchLoader robustness
+# ---------------------------------------------------------------------------
+
+class _ListDataset:
+    def __init__(self, n=32, fail_at=None):
+        self.n = n
+        self.fail_at = fail_at
+
+    def __len__(self):
+        return self.n
+
+    def get_batch(self, idx):
+        if self.fail_at is not None and int(idx[0]) >= self.fail_at:
+            raise RuntimeError("decode failed")
+        return (np.zeros((len(idx), 2, 2, 3), np.uint8),
+                np.asarray(idx, np.int64))
+
+
+def test_loader_abandoned_epoch_does_not_leak(tmp_path):
+    ds = _ListDataset(n=64)
+    ld = BatchLoader(ds, batch_size=4, shuffle=False, prefetch=1)
+    import threading
+    before = threading.active_count()
+    for _ in range(5):
+        gen = ld.epoch(0)
+        next(gen)
+        gen.close()  # abandon mid-epoch; producer must not block forever
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer threads leaked"
+
+
+def test_loader_propagates_producer_errors():
+    ds = _ListDataset(n=16, fail_at=8)
+    ld = BatchLoader(ds, batch_size=4, shuffle=False)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for _ in ld.epoch(0):
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Dataset / init parity details
+# ---------------------------------------------------------------------------
+
+def test_npz_class_to_idx_noncontiguous_labels(tmp_path):
+    imgs = np.zeros((6, 8, 8, 3), np.uint8)
+    labels = np.array([0, 2, 5, 2, 0, 5], np.int64)[:, None]
+    np.save(os.path.join(str(tmp_path), "train_images.npy"), imgs)
+    np.save(os.path.join(str(tmp_path), "train_labels.npy"), labels)
+    ds = NpzDataset(str(tmp_path), "train")
+    assert ds.get_class_to_idx() == {"class_0": 0, "class_2": 2, "class_5": 5}
+
+
+def test_x_proj_init_is_kaiming_uniform():
+    # torch nn.Linear default: U(+/- fan_in^-0.5) with fan_in = d_inner
+    m = SS2D(d_model=32, d_state=8)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 32)))
+    w = np.asarray(v["params"]["x_proj_weight"])
+    bound = (2 * 32) ** -0.5  # d_inner = expand * d_model = 64
+    assert np.abs(w).max() <= bound + 1e-7
+    assert np.abs(w).max() > 0.8 * bound  # actually fills the range
+    assert abs(w.mean()) < 0.1 * bound
