@@ -160,7 +160,186 @@ def _bwd_chunk_scan(a, q, n_valid=None, carry=None):
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel
+# SSD (chunk-factored matmul) scan form -- the production kernel.
+#
+# Within a sub-chunk of SUBCHUNK steps the recurrence h_t = a_t h_{t-1} + b_t
+# with a_t = exp(dt_t * A) is solved in closed form:
+#
+#   g_t = A * cumsum(dt)          (log decay from sub-chunk start, <= 0)
+#   E_t = exp(g_t - m/2), F_t = 1/E_t      with m = g at sub-chunk end
+#   h_t = E_t * (E_end * h_in + cumsum_t(F_s * b_s))
+#
+# The half-shift by m/2 centers the exponents so both E and F stay inside
+# fp32 range for |A * sum(dt)| <= 2*CLIP per sub-chunk (beyond that the decay
+# is < e^-120 -- numerically zero -- and a clip takes over). The cumsums are
+# matmuls against constant block-triangular 0/1 matrices: they run on the MXU,
+# so the VPU work per element drops from ~50 ops (Hillis-Steele doubling, the
+# round-1 kernel below) to ~1 exp + a handful of multiplies. Sub-chunk and
+# chunk boundaries are handled by tiny sequential recurrences on (B,D,N)
+# states. This is the Mamba-2/SSD chunking idea adapted to per-(d,n) decays
+# (A is a full (d_inner, d_state) matrix here, MedMamba.py:183).
+# ---------------------------------------------------------------------------
+
+SUBCHUNK = 16
+_CLIP = 60.0
+
+
+def _seg_matrices(t_len: int, tau: int):
+    """Constant matmul operands for segmented scans along a T axis.
+
+    m_cum[s, t]  = 1 if s <= t and same tau-segment   (inclusive fwd cumsum)
+    m_rev[s, t]  = 1 if s >= t and same tau-segment   (inclusive rev cumsum)
+    m_seg[s, t]  = 1 if same tau-segment              (segment total)
+    """
+    s = jax.lax.broadcasted_iota(jnp.int32, (t_len, t_len), 0)
+    t = jax.lax.broadcasted_iota(jnp.int32, (t_len, t_len), 1)
+    same = (s // tau) == (t // tau)
+    m_cum = ((s <= t) & same).astype(jnp.float32)
+    m_rev = ((s >= t) & same).astype(jnp.float32)
+    m_seg = same.astype(jnp.float32)
+    return m_cum, m_rev, m_seg
+
+
+def _seg_scan_fwd(p, z, tau: int, t_len: int):
+    """Inclusive scan of x_j = p_j x_{j-1} + z_j over tau-sized segments.
+
+    p/z hold segment-constant values replicated along the T axis; shifts move
+    whole segments (lane shifts in tau strides -- full-lane ops, no extracts).
+    """
+    x, acc, step = z, p, tau
+    while step < t_len:
+        x = x + acc * _shift_r(x, step, 0.0)
+        step *= 2
+        if step < t_len:
+            acc = acc * _shift_r(acc, step // 2, 1.0)
+    return x
+
+
+def _seg_scan_rev(p, z, tau: int, t_len: int):
+    """Reverse inclusive scan x_j = z_j + p_j x_{j+1} over tau segments."""
+    x, acc, step = z, p, tau
+    while step < t_len:
+        x = x + acc * _shift_l(x, step, 0.0)
+        step *= 2
+        if step < t_len:
+            acc = acc * _shift_l(acc, step // 2, 1.0)
+    return x
+
+
+def _matmul_t(x, m):
+    """Contract the last (T) axis of x with rows of the (T, K) matrix m.
+
+    Collapsed to a plain (M, K) @ (K, N) so Mosaic maps it straight onto the
+    MXU (K = chunk = 128: full-width systolic tiles). Precision HIGHEST:
+    the TPU default rounds fp32 operands to one bf16 pass, which costs ~3
+    decimal digits on the cumsummed scan values -- outside the kernel's parity
+    tolerance. The 0/1 matrix is exact in bf16; the multi-pass decomposition
+    recovers fp32 fidelity for x."""
+    shape = x.shape
+    prec = {"default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST}[
+                os.environ.get("MEDMAMBA_SSD_PREC", "highest")]
+    out = jax.lax.dot_general(
+        x.reshape(-1, shape[-1]), m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    return out.reshape(shape[:-1] + (m.shape[1],))
+
+
+def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
+                      h0=None, hin_bcast=None):
+    """Shared fwd computation.
+
+    dt: (Bb, Db, T) post-softplus (masked 0 in padded tail), u: (Bb, Db, T),
+    A: (Db, N), Bc: (Bb, N, T). Exactly one of:
+      * h0 (Bb, Db, N): chunk entry state -- run the segment-boundary scan
+        (forward kernel);
+      * hin_bcast (Bb, Db, N, T): saved per-segment entry states broadcast
+        along T -- skip the scan entirely (backward kernel, which loads the
+        states the forward saved as residuals).
+    Returns (E, F, ehalf, G, hin_bcast, h_all, h_last, dub); h_last is None
+    in hin_bcast mode.
+    """
+    m_cum, _, m_seg = _seg_matrices(chunk, tau)
+    # one matmul: segmented inclusive cumsum minus half the segment total
+    S2 = _matmul_t(dt, m_cum - 0.5 * m_seg)
+    send = _matmul_t(dt, m_seg)                  # segment-total broadcast
+    g = jnp.clip(A[None, :, :, None] * S2[:, :, None, :], -_CLIP, _CLIP)
+    E = jnp.exp(g)                               # (Bb, Db, N, T)
+    # exp runs on the VPU's transcendental path at ~zero marginal cost
+    # (measured by ablation); a true divide does not
+    F = jnp.exp(-g)
+    # exp(m_j/2) = decay over half a segment; exponent <= 0, no clip needed
+    ehalf = jnp.exp((0.5 * send)[:, :, None, :] * A[None, :, :, None])
+
+    du = dt * u
+    dub = du[:, :, None, :] * Bc[:, None]        # b_t = dt*u*B
+    w = F * dub
+    G = _matmul_t(w, m_cum)                      # within-segment scan (MXU)
+
+    h_last = None
+    if hin_bcast is None:
+        # segment-boundary recurrence  Hend_j = P_j Hend_{j-1} + Z_j, solved
+        # as a tau-stride doubling scan over segment-constant (..., T) lanes
+        gsum = _matmul_t(w, m_seg)               # segment totals, broadcast
+        h0_b = jnp.broadcast_to(h0[..., None], h0.shape + (chunk,))
+        p = ehalf * ehalf                        # e^{m_j}: whole-segment decay
+        z = ehalf * gsum                         # E_end_j * sum_{s in j} w_s
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
+        z = jnp.where(lane < tau, z + p * h0_b, z)   # fold h0 into segment 0
+        hend = _seg_scan_fwd(p, z, tau, chunk)
+        # state entering each segment = previous segment's end (h0 for j=0)
+        hin_bcast = jnp.concatenate(
+            [h0_b[..., :tau], hend[..., :-tau]], axis=-1)
+        h_last = _col(hend, -1)
+    h_all = E * (G + ehalf * hin_bcast)
+    return E, F, ehalf, G, hin_bcast, h_all, h_last, dub
+
+
+def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
+                    y_ref, st_ref, last_ref, h_scr,
+                    *, l_valid: int, chunk: int, tau: int):
+    t = pl.program_id(3)
+    nc = pl.num_programs(3)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros(h_scr.shape, h_scr.dtype)
+
+    h0 = h_scr[...]                                   # (Bb, Db, N)
+
+    u = u_ref[:, 0].astype(jnp.float32)               # (Bb, Db, T)
+    dt = dt_ref[:, 0].astype(jnp.float32)
+    dt = jax.nn.softplus(dt + bias_ref[0, 0, :, :])
+    if l_valid % chunk != 0:
+        pos = t * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, chunk), 2)
+        dt = jnp.where(pos < l_valid, dt, 0.0)        # pad: decay 1, inject 0
+    A = A_ref[0]                                      # (Db, N)
+    Bc = B_ref[:, 0].astype(jnp.float32)              # (Bb, N, T)
+    Cc = C_ref[:, 0].astype(jnp.float32)
+
+    _E, _F, _eh, _G, hin_bcast, h_all, h_last, _dub = _ssd_forward_core(
+        dt, u, A, Bc, chunk, tau, h0=h0)
+
+    y = jnp.sum(h_all * Cc[:, None], axis=2)          # (Bb, Db, T)
+    y_ref[:, 0] = y + D_ref[0, 0, :, :] * u
+    h_scr[...] = h_last
+
+    # residual for the backward: the chunk entry state (the backward
+    # recomputes within-chunk quantities from it; storing finer-grained
+    # segment states was measured slower -- the (.., R=8)-lane layouts
+    # cost more than the recompute saves)
+    st_ref[:, 0, 0] = h0
+
+    @pl.when(t == nc - 1)
+    def _():
+        last_ref[:, 0] = h_last
+
+
+# ---------------------------------------------------------------------------
+# Round-1 (Hillis-Steele doubling) forward kernel, kept as a selectable
+# fallback: MEDMAMBA_SCAN_KERNEL=hillis. Exact for arbitrarily extreme
+# delta/A magnitudes (no factored exponentials), ~2.5x slower.
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
@@ -210,6 +389,11 @@ def _fwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
         last_ref[:, 0] = h_last
 
 
+def _kernel_impl() -> str:
+    """ssd (default, chunk-factored matmul form) | hillis (round-1 doubling)."""
+    return os.environ.get("MEDMAMBA_SCAN_KERNEL", "ssd")
+
+
 def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int):
     """u/delta: (Bb, G, dpg, Lp); B/C: (Bb, G, N, Lp); A: (G, dpg, N);
     D/bias: (G, dpg). Returns y (fp32), chunk states, last state."""
@@ -217,10 +401,23 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int):
     n = A.shape[-1]
     nc = lp // chunk
     b_blk, dblk = _pick_blocks(bb, dpg, n, chunk)
+    if _kernel_impl() == "ssd":
+        # the SSD form keeps ~11 (Bb, Db, N, T) cubes live (E/F/W/G/q/h/...)
+        # vs ~4 for the doubling kernel: smaller blocks, same total work
+        b_blk, dblk = _pick_blocks(bb, dpg, n, chunk,
+                                   vmem_cube_budget=int(os.environ.get(
+                                       "MEDMAMBA_SCAN_CUBE_BUDGET",
+                                       1024 * 1024)))
+        kernel = functools.partial(_fwd_kernel_ssd, l_valid=l_valid,
+                                   chunk=chunk, tau=min(SUBCHUNK, chunk))
+    else:
+        kernel = functools.partial(_fwd_kernel, l_valid=l_valid, chunk=chunk)
     nd = dpg // dblk
-
     grid = (nd, g, bb // b_blk, nc)
-    kernel = functools.partial(_fwd_kernel, l_valid=l_valid, chunk=chunk)
+
+    st_spec = pl.BlockSpec((b_blk, 1, 1, dblk, n),
+                           lambda j, gg, b, t: (b, gg, t, j, 0))
+    st_shape = jax.ShapeDtypeStruct((bb, g, nc, dpg, n), jnp.float32)
 
     y, states, last = pl.pallas_call(
         kernel,
@@ -241,14 +438,13 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int):
         out_specs=[
             pl.BlockSpec((b_blk, 1, dblk, chunk),
                          lambda j, gg, b, t: (b, gg, j, t)),
-            pl.BlockSpec((b_blk, 1, 1, dblk, n),
-                         lambda j, gg, b, t: (b, gg, t, j, 0)),
+            st_spec,
             pl.BlockSpec((b_blk, 1, dblk, n),
                          lambda j, gg, b, t: (b, gg, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bb, g, dpg, lp), jnp.float32),
-            jax.ShapeDtypeStruct((bb, g, nc, dpg, n), jnp.float32),
+            st_shape,
             jax.ShapeDtypeStruct((bb, g, dpg, n), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b_blk, dblk, n), jnp.float32)],
@@ -259,7 +455,90 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int):
 
 
 # ---------------------------------------------------------------------------
-# Backward kernel
+# SSD backward kernel: recomputes h within the chunk from the saved entry
+# state (same closed form as the forward), then solves the adjoint recurrence
+#   dh_t = C_t gy_t + a_{t+1} dh_{t+1}
+# with the same factored machinery run right-to-left:
+#   dh_t = F_t * (revcumsum_t(E_s q_s) + E_end_j * Phi_j),  q = C * gy,
+# where Phi_j carries contributions from later segments/chunks. Parameter
+# gradients use a_t h_{t-1} = h_t - dt*u*B_t, so no extra exponentials.
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
+                    st_ref, gy_ref,
+                    du_ref, ddt_ref, dB_ref, dC_ref, dA_ref, dbias_ref,
+                    dD_ref, dh_scr, *, l_valid: int, chunk: int, tau: int):
+    b_id = pl.program_id(2)
+    t = pl.program_id(3)
+    nc = pl.num_programs(3)
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[...] = jnp.zeros(dh_scr.shape, dh_scr.dtype)
+
+    @pl.when(jnp.logical_and(b_id == 0, t == 0))
+    def _():
+        dA_ref[...] = jnp.zeros(dA_ref.shape, dA_ref.dtype)
+        dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+        dD_ref[...] = jnp.zeros(dD_ref.shape, dD_ref.dtype)
+
+    u = u_ref[:, 0].astype(jnp.float32)                # (Bb, Db, T)
+    dt_raw = dt_ref[:, 0].astype(jnp.float32) + bias_ref[0, 0, :, :]
+    dt = jax.nn.softplus(dt_raw)
+    sig = jax.nn.sigmoid(dt_raw)
+    A = A_ref[0]                                       # (Db, N)
+    Bc = B_ref[:, 0].astype(jnp.float32)               # (Bb, N, T)
+    Cc = C_ref[:, 0].astype(jnp.float32)
+    gy = gy_ref[:, 0]                                  # (Bb, Db, T) fp32
+    h0 = st_ref[:, 0, 0]                               # (Bb, Db, N)
+
+    if l_valid % chunk != 0:
+        pos = ((nc - 1 - t) * chunk
+               + jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2))
+        valid = pos < l_valid
+        dt = jnp.where(valid, dt, 0.0)
+        gy = jnp.where(valid, gy, 0.0)
+
+    E, F, ehalf, _G, _hb, h_all, _h_last, dub = _ssd_forward_core(
+        dt, u, A, Bc, chunk, tau, h0=h0)
+
+    # adjoint scan: dh_t = F_t * (revcumsum_t(E q) + E_end_j * V_j) with the
+    # cross-segment carries V solved by a reverse tau-stride doubling scan
+    _, m_rev, m_seg = _seg_matrices(chunk, tau)
+    q = Cc[:, None] * gy[:, :, None, :]                # (Bb, Db, N, T)
+    eq = E * q
+    rc = _matmul_t(eq, m_rev)                          # rev cumsum (MXU)
+    rcsum = _matmul_t(eq, m_seg)                       # segment totals
+    carry_b = jnp.broadcast_to(dh_scr[...][..., None],
+                               dh_scr.shape + (chunk,))
+    p = ehalf * ehalf
+    bprime = ehalf * rcsum                             # b'_j = E_end_j sum(Eq)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
+    bprime = jnp.where(lane >= chunk - tau,            # fold carry: V_{R-1}
+                       bprime + p * carry_b, bprime)
+    rv = _seg_scan_rev(p, bprime, tau, chunk)          # rv_j = V_{j-1}
+    v = jnp.concatenate([rv[..., tau:], carry_b[..., :tau]], axis=-1)
+    dh_scr[...] = _col(rv, 0)                          # = a_0 dh_0 carry
+    dh = F * (rc + ehalf * v)
+
+    # parameter/input gradients (a_t h_{t-1} = h_t - dub_t)
+    dhB = jnp.sum(dh * Bc[:, None], axis=2)            # (Bb, Db, T)
+    p = dh * (h_all - dub)
+    dadt = jnp.sum(p * A[None, :, :, None], axis=2)    # (Bb, Db, T)
+    du_out = dt * dhB + D_ref[0, 0, :, :] * gy
+    ddt_raw = (u * dhB + dadt) * sig
+
+    du_ref[:, 0] = du_out
+    ddt_ref[:, 0] = ddt_raw
+    dB_ref[0, :, 0] = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)
+    dC_ref[0, :, 0] = jnp.sum(h_all * gy[:, :, None, :], axis=1)
+    dA_ref[0] += jnp.sum(p * dt[:, :, None, :], axis=(0, 3))
+    dbias_ref[0, 0, :, :] += jnp.sum(ddt_raw, axis=(0, 2))[:, None]
+    dD_ref[0, 0, :, :] += jnp.sum(gy * u, axis=(0, 2))[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Round-1 backward kernel (doubling scans), MEDMAMBA_SCAN_KERNEL=hillis
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
@@ -342,15 +621,27 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
     bb, g, dpg, lp = u.shape
     n = A.shape[-1]
     nc = lp // chunk
-    b_blk, dblk = _pick_blocks(bb, dpg, n, chunk,
-                               vmem_cube_budget=1024 * 1024)
+    if _kernel_impl() == "ssd":
+        # see _fwd_pallas: the SSD backward holds the most live cubes
+        # (fwd recompute + adjoint scan + gradient products)
+        b_blk, dblk = _pick_blocks(bb, dpg, n, chunk,
+                                   vmem_cube_budget=int(os.environ.get(
+                                       "MEDMAMBA_SCAN_CUBE_BUDGET_BWD",
+                                       512 * 1024)))
+        kernel = functools.partial(_bwd_kernel_ssd, l_valid=l_valid,
+                                   chunk=chunk, tau=min(SUBCHUNK, chunk))
+    else:
+        b_blk, dblk = _pick_blocks(bb, dpg, n, chunk,
+                                   vmem_cube_budget=1024 * 1024)
+        kernel = functools.partial(_bwd_kernel, l_valid=l_valid, chunk=chunk)
     nd = dpg // dblk
-
     grid = (nd, g, bb // b_blk, nc)
-    kernel = functools.partial(_bwd_kernel, l_valid=l_valid, chunk=chunk)
 
     def rev(t):
         return nc - 1 - t
+
+    st_spec = pl.BlockSpec((b_blk, 1, 1, dblk, n),
+                           lambda j, gg, b, t: (b, gg, rev(t), j, 0))
 
     du, ddt, dB_exp, dC_exp, dA, dbias, dD = pl.pallas_call(
         kernel,
@@ -367,8 +658,7 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
             pl.BlockSpec((1, dblk, n), lambda j, gg, b, t: (gg, j, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
-            pl.BlockSpec((b_blk, 1, 1, dblk, n),
-                         lambda j, gg, b, t: (b, gg, rev(t), j, 0)),
+            st_spec,
             pl.BlockSpec((b_blk, 1, dblk, chunk),
                          lambda j, gg, b, t: (b, gg, j, rev(t))),
         ],

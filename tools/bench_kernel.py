@@ -25,10 +25,13 @@ STAGES = [(96, 3136), (192, 784), (384, 196), (768, 49)]
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "fwd"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    stages = STAGES
+    if len(sys.argv) > 3:  # single-stage mode: bench_kernel.py fwd 64 0
+        stages = [STAGES[int(sys.argv[3])]]
     n, g = 16, 4
     rng = np.random.default_rng(0)
 
-    for d_inner, l in STAGES:
+    for d_inner, l in stages:
         d = 4 * d_inner
         u = jnp.asarray(rng.standard_normal((batch, d, l)).astype(np.float32))
         delta = jnp.asarray(
