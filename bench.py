@@ -78,12 +78,64 @@ def main():
 
     n_chips = len(jax.devices())
     ips_per_chip = eff_steps * batch / dt / n_chips
-    print(json.dumps({
+    step_ms = dt / eff_steps * 1000.0
+
+    result = {
         "metric": f"images/sec/chip, medmamba_{size.lower()} train 224x224 bf16",
         "value": round(ips_per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(ips_per_chip / A100_BASELINE_IMG_PER_SEC, 3),
-    }))
+    }
+
+    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+        # scan / non-scan split: re-time the step with the selective scan
+        # replaced by a shape-correct no-op, and report analytic MFU
+        from medmamba_tpu.models.registry import MODEL_CONFIGS
+        from medmamba_tpu.utils.profiling import model_flops_report
+
+        stub_model = create_model(size, num_classes=9, dtype=jnp.bfloat16,
+                                  scan_impl="stub")
+        stub_state = init_state(stub_model, jax.random.key(0),
+                                make_optimizer(1e-3, npz_mode=True))
+        stub_state = replicate_state(stub_state, mesh)
+
+        @functools.partial(jax.jit, donate_argnames=("s",))
+        def run_stub_n(s, n):
+            def body(i, carry):
+                st, _ = carry
+                st, loss = train_step(st, images, labels, key, augment=True)
+                return (st, loss)
+            return jax.lax.fori_loop(
+                0, n, body, (s, jnp.zeros((), jnp.float32)), unroll=False)
+
+        stub_state, l2 = run_stub_n(stub_state, warmup)
+        float(l2)
+
+        def run_stub(s, n):
+            t0 = time.perf_counter()
+            s, loss = run_stub_n(s, n)
+            float(loss)
+            return time.perf_counter() - t0, s
+
+        ts, stub_state = run_stub(stub_state, small)
+        tb, stub_state = run_stub(stub_state, steps)
+        nonscan_ms = max(tb - ts, 1e-9) / eff_steps * 1000.0
+
+        cfg = MODEL_CONFIGS[size]
+        macs = model_flops_report(cfg.depths, cfg.dims, 224,
+                                  num_classes=9)["total_macs"]
+        train_flops_img = 6.0 * macs  # 2 flops/MAC x (fwd + ~2x bwd)
+        result["extra"] = {
+            "step_ms": round(step_ms, 2),
+            "nonscan_ms": round(nonscan_ms, 2),
+            "scan_ms": round(step_ms - nonscan_ms, 2),
+            "batch": batch,
+            "scan_kernel": os.environ.get("MEDMAMBA_SCAN_KERNEL", "ssd"),
+            "mfu_vs_bf16_peak": round(
+                ips_per_chip * train_flops_img / 197e12, 4),
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

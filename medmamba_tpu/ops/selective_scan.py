@@ -152,10 +152,39 @@ def selective_scan_assoc(
     return y
 
 
+def selective_scan_stub(
+    u, delta, A, B, C, D=None, delta_bias=None, delta_softplus=False,
+    return_last_state=False,
+):
+    """Shape/dtype-correct NO-OP scan (y = D*u): for benchmarking the
+    non-scan remainder of the model (bench.py breakdown) -- NOT a scan."""
+    y = u.astype(jnp.float32)
+    if D is not None:
+        y = y * D.astype(jnp.float32)[None, :, None]
+    if return_last_state:
+        b, d, _ = u.shape
+        return y, jnp.zeros((b, d, A.shape[-1]), jnp.float32)
+    return y
+
+
 IMPLS = {
     "seq": selective_scan_seq,
     "assoc": selective_scan_assoc,
+    "stub": selective_scan_stub,
 }
+
+
+def _data_parallel_mesh(batch: int):
+    """The active multi-device mesh, if the batch is shardable over it."""
+    from medmamba_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None:
+        return None
+    nd = dict(mesh.shape).get("data", 1)
+    if nd <= 1 or batch % nd != 0:
+        return None
+    return mesh
 
 
 def selective_scan(
@@ -187,7 +216,31 @@ def selective_scan(
         except ImportError:
             impl = "assoc"
     if impl == "pallas":
-        return selective_scan_pallas(
+        fn = selective_scan_pallas
+        mesh = _data_parallel_mesh(u.shape[0])
+        if mesh is not None:
+            # XLA cannot partition a custom call: without this, GSPMD
+            # all-gathers the operands and runs the kernel replicated on
+            # every device. shard_map keeps it batch-parallel over "data".
+            from functools import partial
+
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            dp, rep = P("data"), P()
+            fn = shard_map(
+                partial(selective_scan_pallas,
+                        delta_softplus=delta_softplus,
+                        return_last_state=return_last_state),
+                mesh=mesh,
+                in_specs=(dp, dp, rep, dp, dp, rep, rep),
+                out_specs=(dp, dp) if return_last_state else dp,
+                check_rep=False)
+            return fn(u, delta, A, B, C,
+                      jnp.zeros((u.shape[1],), jnp.float32) if D is None else D,
+                      jnp.zeros((u.shape[1],), jnp.float32)
+                      if delta_bias is None else delta_bias)
+        return fn(
             u, delta, A, B, C, D,
             delta_bias=delta_bias,
             delta_softplus=delta_softplus,

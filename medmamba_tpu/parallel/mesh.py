@@ -19,6 +19,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# The mesh most recently built by make_mesh. Kernel wrappers consult it:
+# XLA cannot partition a pallas_call (a custom call) automatically -- with
+# sharded operands GSPMD silently all-gathers and replicates the kernel --
+# so the selective-scan wrapper shard_maps itself over the "data" axis when
+# a multi-device mesh is active (see ops/selective_scan.py).
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -27,7 +44,9 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
         n_data = n // n_model
     assert n_data * n_model == n, (n_data, n_model, n)
     dev = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(dev, ("data", "model"))
+    mesh = Mesh(dev, ("data", "model"))
+    set_active_mesh(mesh)
+    return mesh
 
 
 def shard_batch(mesh: Mesh, images, labels):
