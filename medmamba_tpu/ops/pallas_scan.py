@@ -260,9 +260,10 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
     in hin_bcast mode.
     """
     m_cum, _, m_seg = _seg_matrices(chunk, tau)
-    # one matmul: segmented inclusive cumsum minus half the segment total
-    S2 = _matmul_t(dt, m_cum - 0.5 * m_seg)
-    send = _matmul_t(dt, m_seg)                  # segment-total broadcast
+    # one (T, 2T) matmul: [segmented cumsum - half segment total | seg total]
+    s2send = _matmul_t(dt, jnp.concatenate(
+        [m_cum - 0.5 * m_seg, m_seg], axis=1))
+    S2, send = s2send[..., :chunk], s2send[..., chunk:]
     g = jnp.clip(A[None, :, :, None] * S2[:, :, None, :], -_CLIP, _CLIP)
     E = jnp.exp(g)                               # (Bb, Db, N, T)
     # exp runs on the VPU's transcendental path at ~zero marginal cost
@@ -274,13 +275,16 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
     du = dt * u
     dub = du[:, :, None, :] * Bc[:, None]        # b_t = dt*u*B
     w = F * dub
-    G = _matmul_t(w, m_cum)                      # within-segment scan (MXU)
 
     h_last = None
-    if hin_bcast is None:
+    if hin_bcast is not None:
+        G = _matmul_t(w, m_cum)                  # within-segment scan (MXU)
+    else:
+        # one merged matmul: within-segment scan + segment totals
+        ggsum = _matmul_t(w, jnp.concatenate([m_cum, m_seg], axis=1))
+        G, gsum = ggsum[..., :chunk], ggsum[..., chunk:]
         # segment-boundary recurrence  Hend_j = P_j Hend_{j-1} + Z_j, solved
         # as a tau-stride doubling scan over segment-constant (..., T) lanes
-        gsum = _matmul_t(w, m_seg)               # segment totals, broadcast
         h0_b = jnp.broadcast_to(h0[..., None], h0.shape + (chunk,))
         p = ehalf * ehalf                        # e^{m_j}: whole-segment decay
         z = ehalf * gsum                         # E_end_j * sum_{s in j} w_s
@@ -507,8 +511,8 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     _, m_rev, m_seg = _seg_matrices(chunk, tau)
     q = Cc[:, None] * gy[:, :, None, :]                # (Bb, Db, N, T)
     eq = E * q
-    rc = _matmul_t(eq, m_rev)                          # rev cumsum (MXU)
-    rcsum = _matmul_t(eq, m_seg)                       # segment totals
+    rcg = _matmul_t(eq, jnp.concatenate([m_rev, m_seg], axis=1))
+    rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]     # rev cumsum | seg totals
     carry_b = jnp.broadcast_to(dh_scr[...][..., None],
                                dh_scr.shape + (chunk,))
     p = ehalf * ehalf
