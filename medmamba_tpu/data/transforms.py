@@ -64,74 +64,27 @@ def _rotate_nearest(img: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid[..., None], out, jnp.zeros_like(out))
 
 
-def _row_shift(x: jnp.ndarray, shifts: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """Shift each row of an NHWC batch horizontally by a per-(batch,row)
-    integer amount, zero fill.
-
-    Implemented as full-row dynamic slices out of a padded image: B*H gathers
-    of contiguous rows instead of B*H*W per-pixel gathers -- the latter runs
-    on the TPU's scalar path at ~100 M idx/s and cost 32 ms/step in round 2
-    profiling; this is bandwidth-bound and ~10x cheaper.
-    """
-    b, h, w, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)))
-    starts = jnp.clip(pad - shifts, 0, 2 * pad).astype(jnp.int32)
-
-    def take_row(row, s):  # (W+2P, C) -> (W, C)
-        return jax.lax.dynamic_slice(row, (s, 0), (w, c))
-
-    return jax.vmap(jax.vmap(take_row))(xp, starts)
-
-
-def _rotate_shear(x: jnp.ndarray, angles: jnp.ndarray,
-                  max_rad: float) -> jnp.ndarray:
-    """Batched small-angle rotation by three integer shears (nearest, zero
-    fill): rotate(t) = shear_x(-tan(t/2)) o shear_y(sin t) o shear_x(-tan(t/2)).
-
-    Each shear is a per-row (or per-column, via transpose) shift, so the whole
-    rotation is three row-slice gathers + two transposes -- the TPU-native
-    formulation of the reference's RandomRotation (train.py:92). The discrete
-    result differs from the direct inverse-map nearest rotation by occasional
-    single-pixel disagreements (same augmentation distribution); the exact
-    per-pixel-gather path is kept for parity experiments
-    (MEDMAMBA_ROTATE=exact).
-    """
-    b, h, w, c = x.shape
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    alpha = jnp.tan(angles / 2.0)                      # (B,)
-    beta = -jnp.sin(angles)
-    amax = abs(math.tan(max_rad / 2.0))
-    bmax = abs(math.sin(max_rad))
-    pad_x = int(math.ceil(amax * max(h, w) / 2.0)) + 1
-    pad_y = int(math.ceil(bmax * max(h, w) / 2.0)) + 1
-
-    yy = jnp.arange(h, dtype=jnp.float32) - cy         # (H,)
-    xx = jnp.arange(w, dtype=jnp.float32) - cx         # (W,)
-    sx = jnp.round(alpha[:, None] * yy[None, :])       # (B, H)
-    sy = jnp.round(beta[:, None] * xx[None, :])        # (B, W)
-
-    out = _row_shift(x, sx, pad_x)
-    out = jnp.swapaxes(out, 1, 2)                      # shear_y as a row shear
-    out = _row_shift(out, sy, pad_y)
-    out = jnp.swapaxes(out, 1, 2)
-    return _row_shift(out, sx, pad_x)
-
-
 def random_augment(key: jax.Array, x: jnp.ndarray,
                    max_rotate_deg: float = 10.0) -> jnp.ndarray:
-    """Per-sample RandomHorizontalFlip(p=.5) + RandomRotation(+/-deg) on an NHWC batch."""
+    """Per-sample RandomHorizontalFlip(p=.5) + RandomRotation(+/-deg) on an NHWC batch.
+
+    Perf note (round-2 profiling, v5e): the rotation's per-pixel gather runs
+    on the TPU scalar path at ~100 M idx/s -> ~32 ms/step at 224^2 batch 64.
+    At the flagship recipe's native 28^2 (MedMNIST) it is ~0.5 ms. A 3-shear
+    row-slice decomposition was implemented and measured SLOWER (49-190 ms:
+    XLA assigns C-minor layouts to the pad/transpose chain and everything
+    runs at ~8 GB/s); a Pallas rotation kernel is the remaining known fix if
+    folder-mode 224^2 augmentation throughput ever matters.
+    """
     b = x.shape[0]
     k_flip, k_rot = jax.random.split(key)
     flip = jax.random.bernoulli(k_flip, 0.5, (b,))
     x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
     if max_rotate_deg == 0.0:
         return x
-    max_rad = max_rotate_deg * math.pi / 180.0
     angles = jax.random.uniform(
         k_rot, (b,), minval=-max_rotate_deg, maxval=max_rotate_deg) * (jnp.pi / 180)
-    if os.environ.get("MEDMAMBA_ROTATE") == "exact":
-        return jax.vmap(_rotate_nearest)(x, angles)
-    return _rotate_shear(x, angles, max_rad)
+    return jax.vmap(_rotate_nearest)(x, angles)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "augment"))
@@ -140,7 +93,8 @@ def preprocess(key: jax.Array, images: jnp.ndarray, *, size: int = 224,
     """uint8 NHWC batch -> normalized float32 (B, size, size, 3).
 
     Matches the reference transform order: flip/rotate at native resolution,
-    then resize, then normalize (train.py:90-96).
+    then resize, then normalize (train.py:90-96). Augmentation runs in fp32:
+    uint8 elementwise/gather ops lower poorly on TPU (measured 2x slower).
     """
     x = images.astype(jnp.float32)
     if augment:

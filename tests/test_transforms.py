@@ -4,9 +4,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from medmamba_tpu.data.transforms import (_rotate_nearest, _rotate_shear,
-                                          normalize, preprocess,
-                                          random_augment, resize)
+from medmamba_tpu.data.transforms import (_rotate_nearest, normalize,
+                                          preprocess, random_augment, resize)
 
 
 def test_normalize_range():
@@ -29,28 +28,6 @@ def test_rotate_identity_and_180():
     out180 = _rotate_nearest(img, jnp.float32(np.pi))
     np.testing.assert_allclose(np.asarray(out180),
                                np.asarray(img)[::-1, ::-1], atol=1e-5)
-
-
-def test_shear_rotation_matches_exact_nearest():
-    """The production 3-shear rotation (row-slice gathers; the per-pixel
-    gather ran on the TPU scalar path at 32 ms/step) must agree with the
-    exact inverse-map nearest rotation up to single-pixel resampling
-    disagreements on a smooth image."""
-    h = w = 64
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    img = np.stack([yy / h, xx / w, (yy + xx) / (h + w)], -1)
-    px = 1.0 / h  # one-pixel step of the gradient
-    for deg in (0.0, 4.0, -9.5, 9.9):
-        a = math.radians(deg)
-        exact = np.asarray(_rotate_nearest(jnp.asarray(img), jnp.float32(a)))
-        shear = np.asarray(_rotate_shear(
-            jnp.asarray(img)[None], jnp.asarray([a]), math.radians(10.0)))[0]
-        d = np.abs(exact[8:-8, 8:-8] - shear[8:-8, 8:-8])
-        assert d.max() <= px + 1e-6, (deg, d.max())
-    # identity at angle 0 including borders
-    out0 = np.asarray(_rotate_shear(jnp.asarray(img)[None],
-                                    jnp.asarray([0.0]), math.radians(10.0)))[0]
-    np.testing.assert_array_equal(out0, img)
 
 
 def test_random_augment_flip_only():
