@@ -60,7 +60,7 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic=True):
         out = x.shape[-1]
         x = nn.Dense(self.hidden, kernel_init=trunc_normal_02, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default is exact erf
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(out, kernel_init=trunc_normal_02, name="fc2")(x)
         return nn.Dropout(self.drop)(x, deterministic=deterministic)

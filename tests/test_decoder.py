@@ -16,13 +16,32 @@ def test_patch_expand_shapes():
     assert f.apply(vf, x).shape == (2, 16, 16, 4)
 
 
+def _ln(z, scale, bias, eps=1e-5):
+    mu = z.mean(-1, keepdims=True)
+    var = z.var(-1, keepdims=True)
+    return (z - mu) / np.sqrt(var + eps) * scale + bias
+
+
 def test_patch_expand_channel_to_space_order():
-    """Each output 2x2 block comes from one input pixel's channel groups."""
-    x = jnp.arange(2 * 2 * 8, dtype=jnp.float32).reshape(1, 2, 2, 8)
-    m = PatchExpand2D()
-    v = m.init(jax.random.key(0), x)
-    y = m.apply(v, x)
-    assert y.shape == (1, 4, 4, 4)
+    """Numeric check of the '(p1 p2 c) -> (h p1) (w p2) c' placement against
+    an independent einops computation (reference semantics, temp.py:224)."""
+    import einops
+
+    rng = np.random.default_rng(0)
+    for cls, p in ((PatchExpand2D, 2), (FinalPatchExpand2D, 4)):
+        c = 16
+        x = rng.standard_normal((2, 3, 5, c)).astype(np.float32)
+        m = cls()
+        v = m.init(jax.random.key(0), jnp.asarray(x))
+        y = np.asarray(m.apply(v, jnp.asarray(x)))
+
+        k = np.asarray(v["params"]["expand"]["kernel"])          # (c, p*c)
+        z = x @ k
+        z = einops.rearrange(z, "b h w (p1 p2 c) -> b (h p1) (w p2) c",
+                             p1=p, p2=p)
+        expected = _ln(z, np.asarray(v["params"]["norm"]["scale"]),
+                       np.asarray(v["params"]["norm"]["bias"]))
+        np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-5)
 
 
 def test_vssm_seg_forward():
