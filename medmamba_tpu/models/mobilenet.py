@@ -30,8 +30,11 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        # explicit symmetric (k-1)//2 padding: torch semantics; flax "SAME"
+        # pads asymmetrically for stride 2, which shifts the grid by a pixel
+        p = (self.kernel - 1) // 2
         x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
+                    strides=(self.stride, self.stride), padding=[(p, p), (p, p)],
                     feature_group_count=self.groups, use_bias=False,
                     kernel_init=kaiming_fan_out, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -62,6 +62,90 @@ def _vit_torch_to_flax(sd, depth):
     return {"params": p}
 
 
+_REF_MNV2 = "/root/reference/ConfusionMatrix/model.py"
+_MNV2_CFG = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+             (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+
+
+def _conv_t(w):
+    return w.numpy().transpose(2, 3, 1, 0)
+
+
+def _bn(sd, prefix):
+    return ({"scale": sd[prefix + ".weight"].numpy(),
+             "bias": sd[prefix + ".bias"].numpy()},
+            {"mean": sd[prefix + ".running_mean"].numpy(),
+             "var": sd[prefix + ".running_var"].numpy()})
+
+
+def _mnv2_torch_to_flax(sd):
+    params, stats = {}, {}
+
+    def cbr(dst, conv_key, bn_key):
+        bnp, bns = _bn(sd, bn_key)
+        params[dst] = {"conv": {"kernel": _conv_t(sd[conv_key + ".weight"])},
+                       "bn": bnp}
+        stats[dst] = {"bn": bns}
+
+    cbr("stem", "features.0.0", "features.0.1")
+    i = 0
+    for t, _c, n, _s in _MNV2_CFG:
+        for _ in range(n):
+            tp = f"features.{i + 1}.conv"
+            blk_p, blk_s = {}, {}
+            off = 0
+            if t != 1:
+                bnp, bns = _bn(sd, f"{tp}.0.1")
+                blk_p["expand"] = {"conv": {"kernel":
+                                            _conv_t(sd[f"{tp}.0.0.weight"])},
+                                   "bn": bnp}
+                blk_s["expand"] = {"bn": bns}
+                off = 1
+            bnp, bns = _bn(sd, f"{tp}.{off}.1")
+            blk_p["dw"] = {"conv": {"kernel": _conv_t(sd[f"{tp}.{off}.0.weight"])},
+                           "bn": bnp}
+            blk_s["dw"] = {"bn": bns}
+            blk_p["project"] = {"kernel": _conv_t(sd[f"{tp}.{off + 1}.weight"])}
+            bnp, bns = _bn(sd, f"{tp}.{off + 2}")
+            blk_p["project_bn"] = bnp
+            blk_s["project_bn"] = bns
+            params[f"block_{i}"] = blk_p
+            stats[f"block_{i}"] = blk_s
+            i += 1
+    cbr("head_conv", "features.18.0", "features.18.1")
+    params["classifier"] = {"kernel": sd["classifier.1.weight"].numpy().T,
+                            "bias": sd["classifier.1.bias"].numpy()}
+    return {"params": params, "batch_stats": stats}
+
+
+def test_mobilenet_v2_logits_match_reference():
+    import importlib.util
+
+    from medmamba_tpu.models.mobilenet import MobileNetV2
+
+    spec = importlib.util.spec_from_file_location("ref_mnv2", _REF_MNV2)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(1)
+    ref = mod.MobileNetV2(num_classes=5)
+    # randomize BN running stats so eval-mode normalization is non-trivial
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+    ref.eval()
+
+    model = MobileNetV2(num_classes=5)
+    variables = _mnv2_torch_to_flax(ref.state_dict())
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    logits = np.asarray(model.apply(variables, jnp.asarray(x), False))
+    np.testing.assert_allclose(logits, ref_logits, rtol=1e-4, atol=1e-4)
+
+
 def test_vit_logits_match_reference():
     ref_mod = _load_ref_vit()
     torch.manual_seed(0)
