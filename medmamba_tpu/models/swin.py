@@ -92,9 +92,12 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):  # (B, H, W, C)
         b, h, w, c = x.shape
-        ws = min(self.window_size, h, w)
-        # no cyclic shift when the window covers the whole feature map
-        ss = self.shift_size if ws < min(h, w) else 0
+        # NOTE: the reference swin (grad_cam/swin_model.py:335-366) pads up to
+        # the window size and applies the cyclic shift REGARDLESS of feature
+        # resolution (unlike official Swin, which zeroes the shift when the
+        # window covers the whole map). Parity follows the reference.
+        ws = self.window_size
+        ss = self.shift_size
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
 

@@ -146,6 +146,81 @@ def test_mobilenet_v2_logits_match_reference():
     np.testing.assert_allclose(logits, ref_logits, rtol=1e-4, atol=1e-4)
 
 
+_REF_SWIN = "/root/reference/grad_cam/swin_model.py"
+
+
+def _swin_torch_to_flax(sd, depths):
+    p = {
+        "patch_embed": {"kernel": _conv_t(sd["patch_embed.proj.weight"]),
+                        "bias": sd["patch_embed.proj.bias"].numpy()},
+        "patch_norm": {"scale": sd["patch_embed.norm.weight"].numpy(),
+                       "bias": sd["patch_embed.norm.bias"].numpy()},
+        "norm": {"scale": sd["norm.weight"].numpy(),
+                 "bias": sd["norm.bias"].numpy()},
+        "head": {"kernel": sd["head.weight"].numpy().T,
+                 "bias": sd["head.bias"].numpy()},
+    }
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            b = f"layers.{i}.blocks.{j}."
+            p[f"layers_{i}_blocks_{j}"] = {
+                "norm1": {"scale": sd[b + "norm1.weight"].numpy(),
+                          "bias": sd[b + "norm1.bias"].numpy()},
+                "norm2": {"scale": sd[b + "norm2.weight"].numpy(),
+                          "bias": sd[b + "norm2.bias"].numpy()},
+                "attn": {
+                    "relative_position_bias_table":
+                        sd[b + "attn.relative_position_bias_table"].numpy(),
+                    "qkv": {"kernel": sd[b + "attn.qkv.weight"].numpy().T,
+                            "bias": sd[b + "attn.qkv.bias"].numpy()},
+                    "proj": {"kernel": sd[b + "attn.proj.weight"].numpy().T,
+                             "bias": sd[b + "attn.proj.bias"].numpy()},
+                },
+                "mlp": {
+                    "fc1": {"kernel": sd[b + "mlp.fc1.weight"].numpy().T,
+                            "bias": sd[b + "mlp.fc1.bias"].numpy()},
+                    "fc2": {"kernel": sd[b + "mlp.fc2.weight"].numpy().T,
+                            "bias": sd[b + "mlp.fc2.bias"].numpy()},
+                },
+            }
+        dkey = f"layers.{i}.downsample."
+        if dkey + "reduction.weight" in sd:
+            p[f"layers_{i}_downsample"] = {
+                "reduction": {"kernel": sd[dkey + "reduction.weight"].numpy().T},
+                "norm": {"scale": sd[dkey + "norm.weight"].numpy(),
+                         "bias": sd[dkey + "norm.bias"].numpy()},
+            }
+    return {"params": p}
+
+
+def test_swin_logits_match_reference():
+    import importlib.util
+
+    from medmamba_tpu.models.swin import SwinTransformer
+
+    spec = importlib.util.spec_from_file_location("ref_swin", _REF_SWIN)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(2)
+    depths, heads = (2, 2), (2, 4)
+    ref = mod.SwinTransformer(patch_size=4, embed_dim=16, depths=depths,
+                              num_heads=heads, window_size=4, num_classes=5,
+                              drop_path_rate=0.0)
+    ref.eval()
+
+    model = SwinTransformer(patch_size=4, embed_dim=16, depths=depths,
+                            num_heads=heads, window_size=4, num_classes=5,
+                            drop_path_rate=0.0)
+    variables = _swin_torch_to_flax(ref.state_dict(), depths)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    logits = np.asarray(model.apply(variables, jnp.asarray(x), True))
+    np.testing.assert_allclose(logits, ref_logits, rtol=1e-4, atol=1e-4)
+
+
 def test_vit_logits_match_reference():
     ref_mod = _load_ref_vit()
     torch.manual_seed(0)
