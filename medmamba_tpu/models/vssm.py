@@ -250,7 +250,9 @@ class SS2D(nn.Module):
         x = nn.silu(x)
 
         # --- forward_corev0 (MedMamba.py:249-286) ---
-        xs = cross_scan(x)  # (B, K, D, L)
+        # directions 2/3 are NOT materialized flipped: the scan runs them as
+        # native reverse-direction scans (reverse_dirs below)
+        xs = cross_scan(x, flip=False)  # (B, K, D, L)
 
         x_proj_weight = self.param(
             "x_proj_weight", x_proj_init(d_inner), (k, dt_rank + 2 * n, d_inner))
@@ -272,9 +274,11 @@ class SS2D(nn.Module):
             u, delta, As, Bs, Cs, Ds.astype(jnp.float32),
             delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
             delta_softplus=True, impl=self.scan_impl,
-        )  # (B, K*D, L) float32
+            reverse_dirs=(False, False, True, True),
+        )  # (B, K*D, L) float32, dirs 2/3 in buffer order
 
-        y = cross_merge(out_y.reshape(b, k, d_inner, l), h, w)  # (B, D, L)
+        y = cross_merge(out_y.reshape(b, k, d_inner, l), h, w,
+                        flipped=False)  # (B, D, L)
         y = jnp.transpose(y, (0, 2, 1)).reshape(b, h, w, d_inner)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm")(y)
         y = y.astype(self.dtype) * nn.silu(z)

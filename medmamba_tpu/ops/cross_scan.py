@@ -21,27 +21,35 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def cross_scan(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, D) -> (B, 4, D, L) with the 4 scan orders above."""
+def cross_scan(x: jnp.ndarray, flip: bool = True) -> jnp.ndarray:
+    """(B, H, W, D) -> (B, 4, D, L) with the 4 scan orders above.
+
+    ``flip=False`` leaves directions 2/3 as UNFLIPPED copies of 0/1: the
+    selective-scan kernel then runs them as native reverse-direction scans
+    (``reverse_dirs``), so no flipped tensors are ever materialized.
+    """
     b, h, w, d = x.shape
     l = h * w
     x_hw = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, d, l)          # row-major
     x_wh = jnp.transpose(x, (0, 3, 2, 1)).reshape(b, d, l)          # col-major
     fwd = jnp.stack([x_hw, x_wh], axis=1)                            # (B, 2, D, L)
-    return jnp.concatenate([fwd, jnp.flip(fwd, axis=-1)], axis=1)    # (B, 4, D, L)
+    bwd = jnp.flip(fwd, axis=-1) if flip else fwd
+    return jnp.concatenate([fwd, bwd], axis=1)                       # (B, 4, D, L)
 
 
-def cross_merge(ys: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+def cross_merge(ys: jnp.ndarray, h: int, w: int,
+                flipped: bool = True) -> jnp.ndarray:
     """(B, 4, D, L) scan outputs -> (B, D, L) sum of the four re-aligned sequences.
 
     Mirrors MedMamba.py:282-286 followed by the ``y1+y2+y3+y4`` at :298.
+    ``flipped=False`` means directions 2/3 already arrive in buffer order
+    (reverse-direction kernel scans), so no un-flip is needed.
     """
     b, k, d, l = ys.shape
     assert k == 4 and l == h * w
-    inv = jnp.flip(ys[:, 2:4], axis=-1)                  # un-flip dirs 2,3
-    y0 = ys[:, 0]
-    y2 = inv[:, 0]
-    # un-transpose dirs 1 and 3: stored (W, H)-major, return to (H, W)-major
-    y1 = jnp.transpose(ys[:, 1].reshape(b, d, w, h), (0, 1, 3, 2)).reshape(b, d, l)
-    y3 = jnp.transpose(inv[:, 1].reshape(b, d, w, h), (0, 1, 3, 2)).reshape(b, d, l)
-    return y0 + y1 + y2 + y3
+    inv = jnp.flip(ys[:, 2:4], axis=-1) if flipped else ys[:, 2:4]
+    y02 = ys[:, 0] + inv[:, 0]
+    # un-transpose dirs 1 and 3 together: stored (W, H)-major
+    y13 = ys[:, 1] + inv[:, 1]
+    y13 = jnp.transpose(y13.reshape(b, d, w, h), (0, 1, 3, 2)).reshape(b, d, l)
+    return y02 + y13

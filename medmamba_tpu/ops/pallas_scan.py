@@ -246,7 +246,7 @@ def _matmul_t(x, m):
 
 
 def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
-                      h0=None, hin_bcast=None):
+                      h0=None, hin_bcast=None, reverse: bool = False):
     """Shared fwd computation.
 
     dt: (Bb, Db, T) post-softplus (masked 0 in padded tail), u: (Bb, Db, T),
@@ -256,13 +256,18 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
       * hin_bcast (Bb, Db, N, T): saved per-segment entry states broadcast
         along T -- skip the scan entirely (backward kernel, which loads the
         states the forward saved as residuals).
+    ``reverse=True`` scans the buffer right-to-left (the mirror image of the
+    normal direction: suffix cumsums, left-shifting segment scan, entry state
+    arriving from the right) -- used for MedMamba's flipped scan directions
+    so the surrounding model never materializes flipped sequences.
     Returns (E, F, ehalf, G, hin_bcast, h_all, h_last, dub); h_last is None
     in hin_bcast mode.
     """
-    m_cum, _, m_seg = _seg_matrices(chunk, tau)
+    m_cum, m_rev, m_seg = _seg_matrices(chunk, tau)
+    m_dir = m_rev if reverse else m_cum
     # one (T, 2T) matmul: [segmented cumsum - half segment total | seg total]
     s2send = _matmul_t(dt, jnp.concatenate(
-        [m_cum - 0.5 * m_seg, m_seg], axis=1))
+        [m_dir - 0.5 * m_seg, m_seg], axis=1))
     S2, send = s2send[..., :chunk], s2send[..., chunk:]
     g = jnp.clip(A[None, :, :, None] * S2[:, :, None, :], -_CLIP, _CLIP)
     E = jnp.exp(g)                               # (Bb, Db, N, T)
@@ -278,30 +283,39 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
 
     h_last = None
     if hin_bcast is not None:
-        G = _matmul_t(w, m_cum)                  # within-segment scan (MXU)
+        G = _matmul_t(w, m_dir)                  # within-segment scan (MXU)
     else:
         # one merged matmul: within-segment scan + segment totals
-        ggsum = _matmul_t(w, jnp.concatenate([m_cum, m_seg], axis=1))
+        ggsum = _matmul_t(w, jnp.concatenate([m_dir, m_seg], axis=1))
         G, gsum = ggsum[..., :chunk], ggsum[..., chunk:]
-        # segment-boundary recurrence  Hend_j = P_j Hend_{j-1} + Z_j, solved
+        # segment-boundary recurrence  Hend_j = P_j Hend_{prev} + Z_j, solved
         # as a tau-stride doubling scan over segment-constant (..., T) lanes
         h0_b = jnp.broadcast_to(h0[..., None], h0.shape + (chunk,))
         p = ehalf * ehalf                        # e^{m_j}: whole-segment decay
         z = ehalf * gsum                         # E_end_j * sum_{s in j} w_s
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
-        z = jnp.where(lane < tau, z + p * h0_b, z)   # fold h0 into segment 0
-        hend = _seg_scan_fwd(p, z, tau, chunk)
-        # state entering each segment = previous segment's end (h0 for j=0)
-        hin_bcast = jnp.concatenate(
-            [h0_b[..., :tau], hend[..., :-tau]], axis=-1)
-        h_last = _col(hend, -1)
+        if reverse:
+            # fold h0 into the first-processed (rightmost) segment
+            z = jnp.where(lane >= chunk - tau, z + p * h0_b, z)
+            hend = _seg_scan_rev(p, z, tau, chunk)
+            hin_bcast = jnp.concatenate(
+                [hend[..., tau:], h0_b[..., :tau]], axis=-1)
+            h_last = _col(hend, 0)
+        else:
+            z = jnp.where(lane < tau, z + p * h0_b, z)
+            hend = _seg_scan_fwd(p, z, tau, chunk)
+            # state entering each segment = previous segment's end
+            hin_bcast = jnp.concatenate(
+                [h0_b[..., :tau], hend[..., :-tau]], axis=-1)
+            h_last = _col(hend, -1)
     h_all = E * (G + ehalf * hin_bcast)
     return E, F, ehalf, G, hin_bcast, h_all, h_last, dub
 
 
 def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     y_ref, st_ref, last_ref, h_scr,
-                    *, l_valid: int, chunk: int, tau: int):
+                    *, l_valid: int, chunk: int, tau: int,
+                    reverse: bool = False):
     t = pl.program_id(3)
     nc = pl.num_programs(3)
 
@@ -315,7 +329,9 @@ def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     dt = dt_ref[:, 0].astype(jnp.float32)
     dt = jax.nn.softplus(dt + bias_ref[0, 0, :, :])
     if l_valid % chunk != 0:
-        pos = t * chunk + jax.lax.broadcasted_iota(
+        # buffer chunk index: reversed scans walk buffer chunks last-to-first
+        c = (nc - 1 - t) if reverse else t
+        pos = c * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, chunk), 2)
         dt = jnp.where(pos < l_valid, dt, 0.0)        # pad: decay 1, inject 0
     A = A_ref[0]                                      # (Db, N)
@@ -323,7 +339,7 @@ def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     Cc = C_ref[:, 0].astype(jnp.float32)
 
     _E, _F, _eh, _G, hin_bcast, h_all, h_last, _dub = _ssd_forward_core(
-        dt, u, A, Bc, chunk, tau, h0=h0)
+        dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse)
 
     y = jnp.sum(h_all * Cc[:, None], axis=2)          # (Bb, Db, T)
     y_ref[:, 0] = y + D_ref[0, 0, :, :] * u
@@ -398,9 +414,15 @@ def _kernel_impl() -> str:
     return os.environ.get("MEDMAMBA_SCAN_KERNEL", "ssd")
 
 
-def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int):
+def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
+                reverse: bool = False):
     """u/delta: (Bb, G, dpg, Lp); B/C: (Bb, G, N, Lp); A: (G, dpg, N);
-    D/bias: (G, dpg). Returns y (fp32), chunk states, last state."""
+    D/bias: (G, dpg). Returns y (fp32), chunk states, last state.
+
+    ``reverse=True`` scans every group right-to-left over the buffer: data
+    blocks are fed in reversed chunk order and the kernel mirrors its scan
+    direction, so flipped sequences are never materialized and y comes out in
+    buffer order."""
     bb, g, dpg, lp = u.shape
     n = A.shape[-1]
     nc = lp // chunk
@@ -413,11 +435,16 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int):
                                        "MEDMAMBA_SCAN_CUBE_BUDGET",
                                        1024 * 1024)))
         kernel = functools.partial(_fwd_kernel_ssd, l_valid=l_valid,
-                                   chunk=chunk, tau=min(SUBCHUNK, chunk))
+                                   chunk=chunk, tau=min(SUBCHUNK, chunk),
+                                   reverse=reverse)
     else:
+        assert not reverse, "reverse scans require the ssd kernel"
         kernel = functools.partial(_fwd_kernel, l_valid=l_valid, chunk=chunk)
     nd = dpg // dblk
     grid = (nd, g, bb // b_blk, nc)
+
+    def data_t(t):  # buffer chunk index for processed chunk t
+        return nc - 1 - t if reverse else t
 
     st_spec = pl.BlockSpec((b_blk, 1, 1, dblk, n),
                            lambda j, gg, b, t: (b, gg, t, j, 0))
@@ -428,20 +455,20 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int):
         grid=grid,
         in_specs=[
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, t)),
+                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, t)),
+                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
             pl.BlockSpec((b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (b, gg, 0, t)),
+                         lambda j, gg, b, t: (b, gg, 0, data_t(t))),
             pl.BlockSpec((b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (b, gg, 0, t)),
+                         lambda j, gg, b, t: (b, gg, 0, data_t(t))),
             pl.BlockSpec((1, dblk, n), lambda j, gg, b, t: (gg, j, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, t)),
+                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
             st_spec,
             pl.BlockSpec((b_blk, 1, dblk, n),
                          lambda j, gg, b, t: (b, gg, j, 0)),
@@ -476,7 +503,8 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int):
 def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     st_ref, gy_ref,
                     du_ref, ddt_ref, dB_ref, dC_ref, dA_ref, dbias_ref,
-                    dD_ref, dh_scr, *, l_valid: int, chunk: int, tau: int):
+                    dD_ref, dh_scr, *, l_valid: int, chunk: int, tau: int,
+                    reverse: bool = False):
     b_id = pl.program_id(2)
     t = pl.program_id(3)
     nc = pl.num_programs(3)
@@ -502,32 +530,42 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     h0 = st_ref[:, 0, 0]                               # (Bb, Db, N)
 
     if l_valid % chunk != 0:
-        pos = ((nc - 1 - t) * chunk
-               + jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2))
+        # buffer chunk index: the bwd walks processed chunks in reverse
+        c = t if reverse else (nc - 1 - t)
+        pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
         valid = pos < l_valid
         dt = jnp.where(valid, dt, 0.0)
         gy = jnp.where(valid, gy, 0.0)
 
     E, F, ehalf, _G, _hb, h_all, _h_last, dub = _ssd_forward_core(
-        dt, u, A, Bc, chunk, tau, h0=h0)
+        dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse)
 
     # adjoint scan: dh_t = F_t * (revcumsum_t(E q) + E_end_j * V_j) with the
-    # cross-segment carries V solved by a reverse tau-stride doubling scan
-    _, m_rev, m_seg = _seg_matrices(chunk, tau)
+    # cross-segment carries V solved by a tau-stride doubling scan running
+    # opposite to the forward direction (everything below is the exact lane
+    # mirror when reverse=True)
+    m_cum, m_rev, m_seg = _seg_matrices(chunk, tau)
+    m_adj = m_cum if reverse else m_rev
     q = Cc[:, None] * gy[:, :, None, :]                # (Bb, Db, N, T)
     eq = E * q
-    rcg = _matmul_t(eq, jnp.concatenate([m_rev, m_seg], axis=1))
-    rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]     # rev cumsum | seg totals
+    rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1))
+    rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]     # adj cumsum | seg totals
     carry_b = jnp.broadcast_to(dh_scr[...][..., None],
                                dh_scr.shape + (chunk,))
     p = ehalf * ehalf
     bprime = ehalf * rcsum                             # b'_j = E_end_j sum(Eq)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
-    bprime = jnp.where(lane >= chunk - tau,            # fold carry: V_{R-1}
-                       bprime + p * carry_b, bprime)
-    rv = _seg_scan_rev(p, bprime, tau, chunk)          # rv_j = V_{j-1}
-    v = jnp.concatenate([rv[..., tau:], carry_b[..., :tau]], axis=-1)
-    dh_scr[...] = _col(rv, 0)                          # = a_0 dh_0 carry
+    if reverse:
+        bprime = jnp.where(lane < tau, bprime + p * carry_b, bprime)
+        rv = _seg_scan_fwd(p, bprime, tau, chunk)
+        v = jnp.concatenate([carry_b[..., :tau], rv[..., :-tau]], axis=-1)
+        dh_scr[...] = _col(rv, -1)
+    else:
+        bprime = jnp.where(lane >= chunk - tau,        # fold carry: V_{R-1}
+                           bprime + p * carry_b, bprime)
+        rv = _seg_scan_rev(p, bprime, tau, chunk)      # rv_j = V_{j-1}
+        v = jnp.concatenate([rv[..., tau:], carry_b[..., :tau]], axis=-1)
+        dh_scr[...] = _col(rv, 0)                      # = a_0 dh_0 carry
     dh = F * (rc + ehalf * v)
 
     # parameter/input gradients (a_t h_{t-1} = h_t - dub_t)
@@ -626,7 +664,7 @@ def _bwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
 
 
 def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
-                l_valid: int):
+                l_valid: int, reverse: bool = False):
     bb, g, dpg, lp = u.shape
     n = A.shape[-1]
     nc = lp // chunk
@@ -638,8 +676,10 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
                                        "MEDMAMBA_SCAN_CUBE_BUDGET_BWD",
                                        512 * 1024)))
         kernel = functools.partial(_bwd_kernel_ssd, l_valid=l_valid,
-                                   chunk=chunk, tau=min(SUBCHUNK, chunk))
+                                   chunk=chunk, tau=min(SUBCHUNK, chunk),
+                                   reverse=reverse)
     else:
+        assert not reverse, "reverse scans require the ssd kernel"
         b_blk, dblk = _pick_blocks(bb, dpg, n, chunk,
                                    vmem_cube_budget=1024 * 1024)
         kernel = functools.partial(_bwd_kernel, l_valid=l_valid, chunk=chunk)
@@ -649,6 +689,11 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
     def rev(t):
         return nc - 1 - t
 
+    def data_t(t):
+        # processed chunks run in reverse; for reversed scans that is buffer
+        # order first-to-last
+        return t if reverse else nc - 1 - t
+
     st_spec = pl.BlockSpec((b_blk, 1, 1, dblk, n),
                            lambda j, gg, b, t: (b, gg, rev(t), j, 0))
 
@@ -657,29 +702,29 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, rev(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, rev(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
             pl.BlockSpec((b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (b, gg, 0, rev(t))),
+                         lambda j, gg, b, t: (b, gg, 0, data_t(t))),
             pl.BlockSpec((b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (b, gg, 0, rev(t))),
+                         lambda j, gg, b, t: (b, gg, 0, data_t(t))),
             pl.BlockSpec((1, dblk, n), lambda j, gg, b, t: (gg, j, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
             st_spec,
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, rev(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
         ],
         out_specs=[
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, rev(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, rev(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
             pl.BlockSpec((1, b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (j, b, gg, 0, rev(t))),
+                         lambda j, gg, b, t: (j, b, gg, 0, data_t(t))),
             pl.BlockSpec((1, b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (j, b, gg, 0, rev(t))),
+                         lambda j, gg, b, t: (j, b, gg, 0, data_t(t))),
             pl.BlockSpec((1, dblk, n), lambda j, gg, b, t: (gg, j, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
@@ -735,28 +780,31 @@ def _layout(u, delta, A, B, C, D, bias, chunk):
     return u4, dt4, A3, B4, C4, D2, bias2, l, lp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _scan_core(u, delta, A, B, C, D, bias, chunk, in_dtypes):
-    (y, _last), _res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _scan_core(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False):
+    (y, _last), _res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
+                                      reverse)
     return y
 
 
-def _scan_core_fwd(u, delta, A, B, C, D, bias, chunk):
+def _scan_core_fwd(u, delta, A, B, C, D, bias, chunk, reverse=False):
     bb, d, l = u.shape
     u4, dt4, A3, B4, C4, D2, bias2, l, lp = _layout(
         u, delta, A, B, C, D, bias, chunk)
-    y4, states, last = _fwd_pallas(u4, dt4, A3, B4, C4, D2, bias2, chunk, l)
+    y4, states, last = _fwd_pallas(u4, dt4, A3, B4, C4, D2, bias2, chunk, l,
+                                   reverse=reverse)
     y = y4.reshape(bb, d, lp)[:, :, :l]
     res = (u4, dt4, A3, B4, C4, D2, bias2, states)
     return (y, last.reshape(bb, d, -1)), res
 
 
-def _vjp_fwd(u, delta, A, B, C, D, bias, chunk, in_dtypes):
-    (y, _last), res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk)
+def _vjp_fwd(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False):
+    (y, _last), res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
+                                     reverse)
     return y, res
 
 
-def _vjp_bwd(chunk, in_dtypes, res, gy):
+def _vjp_bwd(chunk, in_dtypes, reverse, res, gy):
     u4, dt4, A3, B4, C4, D2, bias2, states = res
     bb, g, dpg, lp = u4.shape
     d = g * dpg
@@ -766,7 +814,8 @@ def _vjp_bwd(chunk, in_dtypes, res, gy):
         gy = jnp.pad(gy, ((0, 0), (0, 0), (0, lp - l)))
     gy4 = gy.reshape(bb, g, dpg, lp).astype(jnp.float32)
     du, ddt, dB, dC, dA, dbias, dD = _bwd_pallas(
-        u4, dt4, A3, B4, C4, D2, bias2, states, gy4, chunk, l)
+        u4, dt4, A3, B4, C4, D2, bias2, states, gy4, chunk, l,
+        reverse=reverse)
     du = du.reshape(bb, d, lp)[:, :, :l]
     ddt = ddt.reshape(bb, d, lp)[:, :, :l]
     dB = dB[..., :l]
@@ -791,30 +840,102 @@ def selective_scan_pallas(
     delta_softplus: bool = True,
     return_last_state: bool = False,
     chunk: int = DEFAULT_CHUNK,
+    reverse_dirs: Optional[Tuple[bool, ...]] = None,
 ):
     """Fused selective scan with the MedMamba.py:273-279 call-site contract.
 
     The fused path requires delta_softplus=True (always the case in SS2D);
     D/delta_bias default to zeros when omitted.
+
+    ``reverse_dirs``: optional per-GROUP flags; flagged groups are scanned
+    right-to-left with outputs in buffer order, so MedMamba's flipped
+    directions (``torch.flip`` at MedMamba.py:257/:282) need no materialized
+    flipped copies. Groups with differing flags are dispatched as separate
+    (direction-homogeneous) kernel invocations.
     """
     if not delta_softplus:
-        from medmamba_tpu.ops.selective_scan import selective_scan_assoc
-        return selective_scan_assoc(u, delta, A, B, C, D,
-                                    delta_bias=delta_bias,
-                                    delta_softplus=False,
-                                    return_last_state=return_last_state)
+        from medmamba_tpu.ops.selective_scan import (_flip_group_seqs,
+                                                     selective_scan_assoc)
+        u, delta, B, C = _flip_group_seqs(u, delta, B, C, reverse_dirs)
+        out = selective_scan_assoc(u, delta, A, B, C, D,
+                                   delta_bias=delta_bias,
+                                   delta_softplus=False,
+                                   return_last_state=return_last_state)
+        y = out[0] if return_last_state else out
+        y = _flip_y(y, B.shape[1], reverse_dirs)
+        return (y, out[1]) if return_last_state else y
+
     d = u.shape[1]
+    g = B.shape[1]
     if D is None:
         D = jnp.zeros((d,), jnp.float32)
     if delta_bias is None:
         delta_bias = jnp.zeros((d,), jnp.float32)
+
+    flags = tuple(bool(f) for f in (reverse_dirs or ()))
+    if flags and len(flags) != g:
+        raise ValueError(f"reverse_dirs has {len(flags)} flags for {g} groups")
+    if flags and any(flags) and _kernel_impl() != "ssd":
+        # the hillis fallback kernel has no native reverse path: flip
+        from medmamba_tpu.ops.selective_scan import _flip_group_seqs, _flip_y
+        u, delta, B, C = _flip_group_seqs(u, delta, B, C, flags)
+        out = selective_scan_pallas(u, delta, A, B, C, D,
+                                    delta_bias=delta_bias, delta_softplus=True,
+                                    return_last_state=return_last_state,
+                                    chunk=chunk)
+        y = out[0] if return_last_state else out
+        y = _flip_y(y, g, flags)
+        return (y, out[1]) if return_last_state else y
+    if flags and any(flags) and not all(flags):
+        # mixed directions: split into two direction-homogeneous calls
+        fw = tuple(k for k in range(g) if not flags[k])
+        rv = tuple(k for k in range(g) if flags[k])
+        dpg = d // g
+
+        import numpy as _np
+
+        def pick(idx, rev_flag):
+            sel = _np.asarray(idx)
+            args = (
+                u.reshape(-1, g, dpg, u.shape[-1])[:, sel].reshape(
+                    u.shape[0], len(sel) * dpg, u.shape[-1]),
+                delta.reshape(-1, g, dpg, u.shape[-1])[:, sel].reshape(
+                    u.shape[0], len(sel) * dpg, u.shape[-1]),
+                A.reshape(g, dpg, -1)[sel].reshape(len(sel) * dpg, -1),
+                B[:, sel], C[:, sel],
+                D.reshape(g, dpg)[sel].reshape(-1),
+                delta_bias.reshape(g, dpg)[sel].reshape(-1),
+            )
+            return selective_scan_pallas(
+                *args, delta_softplus=True,
+                return_last_state=return_last_state, chunk=chunk,
+                reverse_dirs=(rev_flag,) * len(sel))
+
+        out_f = pick(fw, False)
+        out_r = pick(rv, True)
+
+        def stitch(a, b):  # reassemble groups in original order
+            ga = a.reshape(a.shape[0], len(fw), dpg, *a.shape[2:])
+            gb = b.reshape(b.shape[0], len(rv), dpg, *b.shape[2:])
+            slots = [None] * g
+            for i, k in enumerate(fw):
+                slots[k] = ga[:, i]
+            for i, k in enumerate(rv):
+                slots[k] = gb[:, i]
+            return jnp.concatenate(slots, axis=1)
+
+        if return_last_state:
+            return (stitch(out_f[0], out_r[0]), stitch(out_f[1], out_r[1]))
+        return stitch(out_f, out_r)
+
+    reverse = bool(flags and all(flags))
     l = u.shape[-1]
     c = min(chunk, _cdiv(l, 128) * 128)
     if return_last_state:
         (y, last), _ = _scan_core_fwd(u, delta, jnp.asarray(A, jnp.float32),
-                                      B, C, D, delta_bias, c)
+                                      B, C, D, delta_bias, c, reverse)
         return y, last
     in_dtypes = tuple(str(x.dtype) for x in
                       (u, delta, A, B, C, D, delta_bias))
     return _scan_core(u, delta, jnp.asarray(A, jnp.float32), B, C, D,
-                      delta_bias, c, in_dtypes)
+                      delta_bias, c, in_dtypes, reverse)

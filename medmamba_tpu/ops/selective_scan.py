@@ -174,6 +174,39 @@ IMPLS = {
 }
 
 
+def _flip_group_seqs(u, delta, B, C, reverse_dirs):
+    """Explicitly flip the sequences of flagged groups along L (the fallback
+    realization of ``reverse_dirs`` for impls without a native reverse path).
+    """
+    if not reverse_dirs or not any(reverse_dirs):
+        return u, delta, B, C
+    g = B.shape[1]
+    d = u.shape[1]
+    dpg = d // g
+
+    def flip4(x4):
+        parts = [jnp.flip(x4[:, k:k + 1], -1) if f else x4[:, k:k + 1]
+                 for k, f in enumerate(reverse_dirs)]
+        return jnp.concatenate(parts, axis=1)
+
+    shape_u = u.shape
+    u = flip4(u.reshape(u.shape[0], g, dpg, u.shape[-1])).reshape(shape_u)
+    delta = flip4(delta.reshape(
+        delta.shape[0], g, dpg, delta.shape[-1])).reshape(shape_u)
+    return u, delta, flip4(B), flip4(C)
+
+
+def _flip_y(y, g, reverse_dirs):
+    """Flip flagged groups of a (B, G*dpg, L) output back to buffer order."""
+    if not reverse_dirs or not any(reverse_dirs):
+        return y
+    b, d, l = y.shape
+    y4 = y.reshape(b, g, d // g, l)
+    parts = [jnp.flip(y4[:, k:k + 1], -1) if f else y4[:, k:k + 1]
+             for k, f in enumerate(reverse_dirs)]
+    return jnp.concatenate(parts, axis=1).reshape(b, d, l)
+
+
 def _data_parallel_mesh(batch: int):
     """The active multi-device mesh, if the batch is shardable over it."""
     from medmamba_tpu.parallel.mesh import active_mesh
@@ -198,11 +231,17 @@ def selective_scan(
     delta_softplus: bool = False,
     return_last_state: bool = False,
     impl: str = "auto",
+    reverse_dirs=None,
 ):
     """Public selective scan with the reference call-site contract (MedMamba.py:273-279).
 
     impl: "auto" | "pallas" | "assoc" | "seq".
     "auto" picks the fused Pallas kernel on TPU backends, "assoc" otherwise.
+
+    reverse_dirs: optional per-group bools; flagged groups scan right-to-left
+    with buffer-order outputs (the Pallas kernel handles this natively via
+    reversed index maps; other impls flip explicitly). This lets SS2D skip
+    materializing the flipped CrossScan copies (MedMamba.py:257/:282).
     """
     if impl == "auto":
         try:
@@ -216,7 +255,7 @@ def selective_scan(
         except ImportError:
             impl = "assoc"
     if impl == "pallas":
-        fn = selective_scan_pallas
+        rflags = tuple(bool(f) for f in reverse_dirs) if reverse_dirs else None
         mesh = _data_parallel_mesh(u.shape[0])
         if mesh is not None:
             # XLA cannot partition a custom call: without this, GSPMD
@@ -231,7 +270,8 @@ def selective_scan(
             fn = shard_map(
                 partial(selective_scan_pallas,
                         delta_softplus=delta_softplus,
-                        return_last_state=return_last_state),
+                        return_last_state=return_last_state,
+                        reverse_dirs=rflags),
                 mesh=mesh,
                 in_specs=(dp, dp, rep, dp, dp, rep, rep),
                 out_specs=(dp, dp) if return_last_state else dp,
@@ -240,16 +280,23 @@ def selective_scan(
                       jnp.zeros((u.shape[1],), jnp.float32) if D is None else D,
                       jnp.zeros((u.shape[1],), jnp.float32)
                       if delta_bias is None else delta_bias)
-        return fn(
+        return selective_scan_pallas(
             u, delta, A, B, C, D,
             delta_bias=delta_bias,
             delta_softplus=delta_softplus,
             return_last_state=return_last_state,
+            reverse_dirs=rflags,
         )
     fn = IMPLS[impl]
-    return fn(
+    u, delta, B, C = _flip_group_seqs(u, delta, B, C, reverse_dirs)
+    out = fn(
         u, delta, A, B, C, D,
         delta_bias=delta_bias,
         delta_softplus=delta_softplus,
         return_last_state=return_last_state,
     )
+    if reverse_dirs and any(reverse_dirs):
+        if return_last_state:
+            return _flip_y(out[0], B.shape[1], reverse_dirs), out[1]
+        return _flip_y(out, B.shape[1], reverse_dirs)
+    return out

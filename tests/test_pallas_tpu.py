@@ -53,6 +53,48 @@ def test_pallas_last_state():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_reverse_dirs_vs_flip_reference():
+    """Native reverse-direction scans (reversed index maps + mirrored
+    machinery) must equal flip-scan-unflip, fwd and grad, on hardware."""
+    from medmamba_tpu.ops.selective_scan import _flip_group_seqs, _flip_y
+
+    rng = np.random.default_rng(5)
+    u, delta, A, B, C, D, bias = _make(rng, l=200)
+    flags = (False, False, True, True)
+
+    uf, df, Bf, Cf = _flip_group_seqs(jnp.asarray(u), jnp.asarray(delta),
+                                      jnp.asarray(B), jnp.asarray(C), flags)
+    y_ref = np.asarray(_flip_y(
+        selective_scan_assoc(uf, df, A, Bf, Cf, D, delta_bias=bias,
+                             delta_softplus=True), 4, flags))
+    y = selective_scan_pallas(u, delta, A, B, C, D, delta_bias=bias,
+                              delta_softplus=True, reverse_dirs=flags)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-3, atol=3e-3)
+
+    args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+    gyw = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32))
+
+    def loss_p(a):
+        y = selective_scan_pallas(a[0], a[1], a[2], a[3], a[4], a[5],
+                                  delta_bias=a[6], delta_softplus=True,
+                                  reverse_dirs=flags)
+        return jnp.sum(y * gyw)
+
+    def loss_r(a):
+        u2, d2, B2, C2 = _flip_group_seqs(a[0], a[1], a[3], a[4], flags)
+        y = selective_scan_assoc(u2, d2, a[2], B2, C2, a[5], delta_bias=a[6],
+                                 delta_softplus=True)
+        return jnp.sum(_flip_y(y, 4, flags) * gyw)
+
+    g_p = jax.grad(loss_p)(args)
+    g_r = jax.grad(loss_r)(args)
+    for name, gp, ga in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_p, g_r):
+        gp, ga = np.asarray(gp), np.asarray(ga)
+        scale = np.abs(ga).max() + 1e-6
+        assert np.abs(gp - ga).max() / scale < 1e-3, name
+
+
 def test_pallas_grads_vs_assoc():
     rng = np.random.default_rng(2)
     u, delta, A, B, C, D, bias = _make(rng, b=2, d=16, n=8, g=2, l=200)

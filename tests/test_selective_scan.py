@@ -109,3 +109,54 @@ def test_pallas_interpret_mode_on_cpu():
     for gp, ga in zip(g_p, g_a):
         scale = np.abs(np.asarray(ga)).max() + 1e-6
         assert np.abs(np.asarray(gp) - np.asarray(ga)).max() / scale < 2e-3
+
+
+def _mk(rng, b=2, d=16, n=8, l=96, g=4):
+    return (rng.standard_normal((b, d, l)).astype(np.float32),
+            (0.3 * rng.standard_normal((b, d, l))).astype(np.float32),
+            -np.exp(rng.standard_normal((d, n)).astype(np.float32) * 0.5),
+            rng.standard_normal((b, g, n, l)).astype(np.float32),
+            rng.standard_normal((b, g, n, l)).astype(np.float32),
+            rng.standard_normal((d,)).astype(np.float32),
+            (0.1 * rng.standard_normal((d,))).astype(np.float32))
+
+
+@pytest.mark.parametrize("impl", ["seq", "assoc", "pallas"])
+def test_reverse_dirs_matches_explicit_flips(impl):
+    """reverse_dirs (native reverse scans in the Pallas kernel; explicit
+    flips elsewhere) must equal flip-scan-unflip for every impl."""
+    from medmamba_tpu.ops.selective_scan import _flip_group_seqs, _flip_y
+
+    rng = np.random.default_rng(7)
+    u, delta, A, B, C, D, bias = _mk(rng)
+    flags = (False, True, True, False)
+
+    uf, df, Bf, Cf = _flip_group_seqs(jnp.asarray(u), jnp.asarray(delta),
+                                      jnp.asarray(B), jnp.asarray(C), flags)
+    y_ref = np.asarray(_flip_y(
+        selective_scan_assoc(uf, df, A, Bf, Cf, D, delta_bias=bias,
+                             delta_softplus=True), 4, flags))
+
+    y = selective_scan(u, delta, A, B, C, D, delta_bias=bias,
+                       delta_softplus=True, impl=impl, reverse_dirs=flags)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-3, atol=3e-3)
+
+
+def test_cross_scan_noflip_roundtrip():
+    """flip=False cross_scan + a manual per-direction reversal reproduces the
+    flipped cross_scan exactly; merge with flipped=False matches the default
+    merge of flipped outputs."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 3)).astype(np.float32))
+    xs_flip = np.asarray(cross_scan(x, flip=True))
+    xs_noflip = np.asarray(cross_scan(x, flip=False))
+    np.testing.assert_array_equal(xs_noflip[:, 2:], xs_noflip[:, :2])
+    np.testing.assert_array_equal(xs_flip[:, 2:], xs_noflip[:, 2:][..., ::-1])
+
+    ys = rng.standard_normal((2, 4, 3, 24)).astype(np.float32)
+    merged_flipped = np.asarray(cross_merge(jnp.asarray(ys), 4, 6))
+    ys_buffer = ys.copy()
+    ys_buffer[:, 2:] = ys_buffer[:, 2:][..., ::-1]  # pre-unflipped outputs
+    merged_buffer = np.asarray(
+        cross_merge(jnp.asarray(ys_buffer), 4, 6, flipped=False))
+    np.testing.assert_allclose(merged_buffer, merged_flipped, atol=1e-6)
