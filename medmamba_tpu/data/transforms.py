@@ -68,23 +68,26 @@ def random_augment(key: jax.Array, x: jnp.ndarray,
                    max_rotate_deg: float = 10.0) -> jnp.ndarray:
     """Per-sample RandomHorizontalFlip(p=.5) + RandomRotation(+/-deg) on an NHWC batch.
 
-    Perf note (round-2 profiling, v5e): the rotation's per-pixel gather runs
-    on the TPU scalar path at ~100 M idx/s -> ~32 ms/step at 224^2 batch 64.
-    At the flagship recipe's native 28^2 (MedMNIST) it is ~0.5 ms. A 3-shear
-    row-slice decomposition was implemented and measured SLOWER (49-190 ms:
-    XLA assigns C-minor layouts to the pad/transpose chain and everything
-    runs at ~8 GB/s); a Pallas rotation kernel is the remaining known fix if
-    folder-mode 224^2 augmentation throughput ever matters.
+    Flip+rotation run in one fused Pallas kernel (ops/rotate_pallas.py). The
+    exact per-pixel rotation gather (`_rotate_nearest`) lowers to the TPU
+    scalar path (~38 ms/step + ~5 min compile at 224^2 batch 64); the kernel
+    does masked VMEM rolls instead (~1-4 ms, seconds to compile) at the cost
+    of <=~4% of pixels picking a horizontally adjacent source pixel (see the
+    kernel docstring; MEDMAMBA_EXACT_ROTATE=1 restores the exact gather).
     """
     b = x.shape[0]
     k_flip, k_rot = jax.random.split(key)
     flip = jax.random.bernoulli(k_flip, 0.5, (b,))
-    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
     if max_rotate_deg == 0.0:
-        return x
+        return jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    max_rad = max_rotate_deg * math.pi / 180.0
     angles = jax.random.uniform(
-        k_rot, (b,), minval=-max_rotate_deg, maxval=max_rotate_deg) * (jnp.pi / 180)
-    return jax.vmap(_rotate_nearest)(x, angles)
+        k_rot, (b,), minval=-max_rad, maxval=max_rad)
+    if os.environ.get("MEDMAMBA_EXACT_ROTATE"):
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        return jax.vmap(_rotate_nearest)(x, angles)
+    from medmamba_tpu.ops.rotate_pallas import rotate_flip_pallas
+    return rotate_flip_pallas(x, angles, flip, max_rad=max_rad)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "augment"))

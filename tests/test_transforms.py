@@ -50,3 +50,26 @@ def test_preprocess_deterministic_eval():
     b = preprocess(jax.random.key(1), imgs, size=32, augment=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert a.shape == (2, 32, 32, 3) and a.dtype == jnp.float32
+
+
+def test_rotate_pallas_matches_exact_gather():
+    """The Pallas rotate kernel (ops/rotate_pallas.py) vs the exact inverse-map
+    gather: zero-angle and flip paths exact; small angles differ on <=~4% of
+    pixels (the documented 2-pass separability approximation)."""
+    from medmamba_tpu.ops.rotate_pallas import rotate_flip_pallas
+
+    rng = np.random.default_rng(3)
+    for size in (28, 48):
+        x = jnp.asarray(rng.standard_normal((4, size, size, 3))
+                        .astype(np.float32))
+        angles = jnp.asarray(
+            rng.uniform(-0.1745, 0.1745, (4,)).astype(np.float32))
+        out = np.asarray(rotate_flip_pallas(
+            x, angles, jnp.zeros(4, bool), max_rad=0.1745))
+        ref = np.asarray(jax.vmap(_rotate_nearest)(x, angles))
+        mism = (np.abs(out - ref) > 1e-6).any(-1).mean()
+        assert mism <= 0.05, f"size={size}: {mism:.3f} of pixels differ"
+        # flip + zero angle must be bit-exact
+        out0 = np.asarray(rotate_flip_pallas(
+            x, jnp.zeros(4), jnp.ones(4, bool), max_rad=0.1745))
+        np.testing.assert_array_equal(out0, np.asarray(x)[:, :, ::-1, :])
