@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from medmamba_tpu.ops.cross_scan import cross_scan, cross_merge
+from medmamba_tpu.ops.cross_scan import (cross_scan, cross_merge,
+                                          cross_scan_fwd, cross_merge_fr)
 from medmamba_tpu.ops.selective_scan import selective_scan
 
 Dtype = Any
@@ -250,9 +251,13 @@ class SS2D(nn.Module):
         x = nn.silu(x)
 
         # --- forward_corev0 (MedMamba.py:249-286) ---
-        # directions 2/3 are NOT materialized flipped: the scan runs them as
-        # native reverse-direction scans (reverse_dirs below)
-        xs = cross_scan(x, flip=False)  # (B, K, D, L)
+        # Directions 2/3 are exact reversals of 0/1: their scan-input data is
+        # bit-identical (cross_scan_fwd), so the hot path makes TWO
+        # direction-homogeneous scan calls -- one forward, one native-reverse
+        # -- on the same (B, 2, D, L) tensor. No flipped copies, no
+        # 4-direction stack, no mixed-direction split/stitch inside the
+        # kernel wrapper.
+        xs = cross_scan_fwd(x)  # (B, 2, D, L)
 
         x_proj_weight = self.param(
             "x_proj_weight", x_proj_init(d_inner), (k, dt_rank + 2 * n, d_inner))
@@ -262,23 +267,29 @@ class SS2D(nn.Module):
         A_logs = self.param("A_logs", a_log_init, (k * d_inner, n))
         Ds = self.param("Ds", nn.initializers.ones, (k * d_inner,))
 
-        x_dbl = jnp.einsum(
-            "bkdl,kcd->bkcl", xs, x_proj_weight.astype(xs.dtype))
-        dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=2)
-        dts = jnp.einsum("bkrl,kdr->bkdl", dts, dt_projs_weight.astype(dts.dtype))
+        u = xs.reshape(b, 2 * d_inner, l)
+        As = -jnp.exp(A_logs.astype(jnp.float32)).reshape(k, d_inner, n)
+        Ds_f = Ds.astype(jnp.float32).reshape(k, d_inner)
+        bias_f = dt_projs_bias.astype(jnp.float32)
 
-        u = xs.reshape(b, k * d_inner, l)
-        delta = dts.reshape(b, k * d_inner, l)
-        As = -jnp.exp(A_logs.astype(jnp.float32))
-        out_y = selective_scan(
-            u, delta, As, Bs, Cs, Ds.astype(jnp.float32),
-            delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
-            delta_softplus=True, impl=self.scan_impl,
-            reverse_dirs=(False, False, True, True),
-        )  # (B, K*D, L) float32, dirs 2/3 in buffer order
+        def scan_pair(ks, rev):  # ks = (0, 1) fwd | (2, 3) reverse
+            wp = x_proj_weight[ks[0]:ks[1] + 1]
+            wdt = dt_projs_weight[ks[0]:ks[1] + 1]
+            x_dbl = jnp.einsum("bkdl,kcd->bkcl", xs, wp.astype(xs.dtype))
+            dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=2)
+            dts = jnp.einsum("bkrl,kdr->bkdl", dts, wdt.astype(dts.dtype))
+            y = selective_scan(
+                u, dts.reshape(b, 2 * d_inner, l),
+                As[ks[0]:ks[1] + 1].reshape(2 * d_inner, n), Bs, Cs,
+                Ds_f[ks[0]:ks[1] + 1].reshape(-1),
+                delta_bias=bias_f[ks[0]:ks[1] + 1].reshape(-1),
+                delta_softplus=True, impl=self.scan_impl,
+                reverse_dirs=(rev, rev),
+            )  # (B, 2*D, L) float32, buffer order
+            return y.reshape(b, 2, d_inner, l)
 
-        y = cross_merge(out_y.reshape(b, k, d_inner, l), h, w,
-                        flipped=False)  # (B, D, L)
+        y = cross_merge_fr(scan_pair((0, 1), False), scan_pair((2, 3), True),
+                           h, w)  # (B, D, L)
         y = jnp.transpose(y, (0, 2, 1)).reshape(b, h, w, d_inner)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm")(y)
         y = y.astype(self.dtype) * nn.silu(z)

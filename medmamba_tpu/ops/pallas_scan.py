@@ -180,8 +180,22 @@ def _bwd_chunk_scan(a, q, n_valid=None, carry=None):
 # (A is a full (d_inner, d_state) matrix here, MedMamba.py:183).
 # ---------------------------------------------------------------------------
 
-SUBCHUNK = 16
-_CLIP = 60.0
+SUBCHUNK = 16  # legacy default; see _tau()
+_CLIP = 80.0   # |g| bound: e^80 ~ 5.5e34 stays fp32/bf16-finite even after the
+               # x128 within-segment cumsum; covers |A*seg_sum(dt)| <= 160
+
+
+def _tau() -> int:
+    """Sub-chunk (segment) length. The factored exponentials are exact only
+    while |A * seg_sum(dt)| <= 2*_CLIP per segment; beyond that the clip
+    distorts near-diagonal E*F decay ratios by O(1) (measured: 1.65 abs error
+    at tau=32 on the adversarial shape-sweep distribution, where per-segment
+    ranges reach ~180). tau=16 keeps the worst observed range comfortably
+    inside the budget and is the default. tau=32 drops one doubling level
+    from each of the 4 boundary scans per fwd+bwd (~10-15% kernel time) and
+    is safe for trained-magnitude data (per-step dt*|A| << 1): opt in with
+    MEDMAMBA_SCAN_TAU=32 when the data distribution is known."""
+    return int(os.environ.get("MEDMAMBA_SCAN_TAU", "16"))
 
 
 def _seg_matrices(t_len: int, tau: int):
@@ -226,27 +240,67 @@ def _seg_scan_rev(p, z, tau: int, t_len: int):
     return x
 
 
-def _matmul_t(x, m):
+def _matmul_t(x, m, hi_fidelity: bool = False):
     """Contract the last (T) axis of x with rows of the (T, K) matrix m.
 
     Collapsed to a plain (M, K) @ (K, N) so Mosaic maps it straight onto the
-    MXU (K = chunk = 128: full-width systolic tiles). Precision HIGHEST:
-    the TPU default rounds fp32 operands to one bf16 pass, which costs ~3
-    decimal digits on the cumsummed scan values -- outside the kernel's parity
-    tolerance. The 0/1 matrix is exact in bf16; the multi-pass decomposition
-    recovers fp32 fidelity for x."""
+    MXU (K = chunk = 128: full-width systolic tiles). The TPU DEFAULT
+    precision rounds fp32 operands to one bf16 pass, which costs ~3 decimal
+    digits on the cumsummed scan values -- outside the kernel's parity
+    tolerance. Two exact remedies:
+
+      * split2 (default for the big cube contractions): decompose
+        x = hi + lo into two bf16 operands (~17 mantissa bits) and run two
+        DEFAULT-precision passes against the 0/1 matrix (exact in bf16).
+        2 MXU passes instead of HIGHEST's 6.
+      * HIGHEST (``hi_fidelity=True``, used for the dt cumsum whose absolute
+        error budget is tighter -- g = A*cumsum(dt) sits inside an exp).
+    """
     shape = x.shape
-    prec = {"default": jax.lax.Precision.DEFAULT,
-            "highest": jax.lax.Precision.HIGHEST}[
-                os.environ.get("MEDMAMBA_SSD_PREC", "highest")]
-    out = jax.lax.dot_general(
-        x.reshape(-1, shape[-1]), m, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+    x2 = x.reshape(-1, shape[-1])
+    dn = (((1,), (0,)), ((), ()))
+    mode = "highest" if hi_fidelity else os.environ.get(
+        "MEDMAMBA_SSD_PREC", "split2")
+    if mode == "split2":
+        mb = m.astype(jnp.bfloat16)
+        hi = x2.astype(jnp.bfloat16)
+        lo = (x2 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = (jax.lax.dot_general(hi, mb, dn,
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(lo, mb, dn,
+                                     preferred_element_type=jnp.float32))
+    else:
+        prec = {"default": jax.lax.Precision.DEFAULT,
+                "highest": jax.lax.Precision.HIGHEST}[mode]
+        out = jax.lax.dot_general(x2, m, dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
     return out.reshape(shape[:-1] + (m.shape[1],))
 
 
+def _pack_reset_mask(scan_is_fwd: bool, pitch: int, tau: int, chunk: int):
+    """Zero-mask (1,1,1,chunk) for batch-packed chunks (pitch < chunk): kills
+    the boundary-scan coupling between packed elements.
+
+    Packing places ``chunk // pitch`` independent batch elements side by side
+    along the lane axis (each padded to ``pitch`` lanes, a multiple of tau).
+    A forward-running segment scan leaks state from element k to k+1 through
+    the first segment of each element (its ``p`` multiplies the previous
+    element's last segment state): zero p there. A reverse-running scan leaks
+    through the last segment of each element. The same masks zero the
+    state-entering-segment broadcast (hin / v) at those segments."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
+    inelem = lane % pitch
+    if scan_is_fwd:
+        # first segment of every element but the first
+        return (inelem < tau) & (lane >= pitch)
+    # last segment of every element but the last
+    return (inelem >= pitch - tau) & (lane < chunk - tau)
+
+
 def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
-                      h0=None, hin_bcast=None, reverse: bool = False):
+                      h0=None, hin_bcast=None, reverse: bool = False,
+                      pitch: Optional[int] = None):
     """Shared fwd computation.
 
     dt: (Bb, Db, T) post-softplus (masked 0 in padded tail), u: (Bb, Db, T),
@@ -265,9 +319,10 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
     """
     m_cum, m_rev, m_seg = _seg_matrices(chunk, tau)
     m_dir = m_rev if reverse else m_cum
-    # one (T, 2T) matmul: [segmented cumsum - half segment total | seg total]
+    # one (T, 2T) matmul: [segmented cumsum - half segment total | seg total];
+    # HIGHEST: this feeds exp(A * .), whose absolute error budget is tight
     s2send = _matmul_t(dt, jnp.concatenate(
-        [m_dir - 0.5 * m_seg, m_seg], axis=1))
+        [m_dir - 0.5 * m_seg, m_seg], axis=1), hi_fidelity=True)
     S2, send = s2send[..., :chunk], s2send[..., chunk:]
     g = jnp.clip(A[None, :, :, None] * S2[:, :, None, :], -_CLIP, _CLIP)
     E = jnp.exp(g)                               # (Bb, Db, N, T)
@@ -294,6 +349,10 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
         p = ehalf * ehalf                        # e^{m_j}: whole-segment decay
         z = ehalf * gsum                         # E_end_j * sum_{s in j} w_s
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
+        reset = (None if pitch is None else
+                 _pack_reset_mask(not reverse, pitch, tau, chunk))
+        if reset is not None:
+            p = jnp.where(reset, 0.0, p)         # decouple packed elements
         if reverse:
             # fold h0 into the first-processed (rightmost) segment
             z = jnp.where(lane >= chunk - tau, z + p * h0_b, z)
@@ -308,6 +367,9 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
             hin_bcast = jnp.concatenate(
                 [h0_b[..., :tau], hend[..., :-tau]], axis=-1)
             h_last = _col(hend, -1)
+        if reset is not None:
+            # an element's first-processed segment enters with zero state
+            hin_bcast = jnp.where(reset, 0.0, hin_bcast)
     h_all = E * (G + ehalf * hin_bcast)
     return E, F, ehalf, G, hin_bcast, h_all, h_last, dub
 
@@ -315,7 +377,7 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
 def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     y_ref, st_ref, last_ref, h_scr,
                     *, l_valid: int, chunk: int, tau: int,
-                    reverse: bool = False):
+                    reverse: bool = False, pitch: Optional[int] = None):
     t = pl.program_id(3)
     nc = pl.num_programs(3)
 
@@ -328,7 +390,7 @@ def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     u = u_ref[:, 0].astype(jnp.float32)               # (Bb, Db, T)
     dt = dt_ref[:, 0].astype(jnp.float32)
     dt = jax.nn.softplus(dt + bias_ref[0, 0, :, :])
-    if l_valid % chunk != 0:
+    if pitch is None and l_valid % chunk != 0:
         # buffer chunk index: reversed scans walk buffer chunks last-to-first
         c = (nc - 1 - t) if reverse else t
         pos = c * chunk + jax.lax.broadcasted_iota(
@@ -339,7 +401,7 @@ def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     Cc = C_ref[:, 0].astype(jnp.float32)
 
     _E, _F, _eh, _G, hin_bcast, h_all, h_last, _dub = _ssd_forward_core(
-        dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse)
+        dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
 
     y = jnp.sum(h_all * Cc[:, None], axis=2)          # (Bb, Db, T)
     y_ref[:, 0] = y + D_ref[0, 0, :, :] * u
@@ -415,7 +477,7 @@ def _kernel_impl() -> str:
 
 
 def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
-                reverse: bool = False):
+                reverse: bool = False, pitch: Optional[int] = None):
     """u/delta: (Bb, G, dpg, Lp); B/C: (Bb, G, N, Lp); A: (G, dpg, N);
     D/bias: (G, dpg). Returns y (fp32), chunk states, last state.
 
@@ -435,10 +497,11 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
                                        "MEDMAMBA_SCAN_CUBE_BUDGET",
                                        1024 * 1024)))
         kernel = functools.partial(_fwd_kernel_ssd, l_valid=l_valid,
-                                   chunk=chunk, tau=min(SUBCHUNK, chunk),
-                                   reverse=reverse)
+                                   chunk=chunk, tau=min(_tau(), chunk),
+                                   reverse=reverse, pitch=pitch)
     else:
-        assert not reverse, "reverse scans require the ssd kernel"
+        assert not reverse and pitch is None, \
+            "reverse/packed scans require the ssd kernel"
         kernel = functools.partial(_fwd_kernel, l_valid=l_valid, chunk=chunk)
     nd = dpg // dblk
     grid = (nd, g, bb // b_blk, nc)
@@ -504,14 +567,19 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     st_ref, gy_ref,
                     du_ref, ddt_ref, dB_ref, dC_ref, dA_ref, dbias_ref,
                     dD_ref, dh_scr, *, l_valid: int, chunk: int, tau: int,
-                    reverse: bool = False):
-    b_id = pl.program_id(2)
-    t = pl.program_id(3)
-    nc = pl.num_programs(3)
+                    reverse: bool = False, pitch: Optional[int] = None):
+    # grid = (group, batch_block, L_chunk, d_block) -- d_block INNERMOST so
+    # the j-independent B/C input blocks stay VMEM-resident across the
+    # d-block sweep and dB/dC accumulate in VMEM instead of materializing
+    # nd-expanded HBM tensors reduced outside the kernel
+    b_id = pl.program_id(1)
+    t = pl.program_id(2)
+    nc = pl.num_programs(2)
+    j = pl.program_id(3)
 
     @pl.when(t == 0)
     def _():
-        dh_scr[...] = jnp.zeros(dh_scr.shape, dh_scr.dtype)
+        dh_scr[j] = jnp.zeros(dh_scr.shape[1:], dh_scr.dtype)
 
     @pl.when(jnp.logical_and(b_id == 0, t == 0))
     def _():
@@ -529,7 +597,7 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     gy = gy_ref[:, 0]                                  # (Bb, Db, T) fp32
     h0 = st_ref[:, 0, 0]                               # (Bb, Db, N)
 
-    if l_valid % chunk != 0:
+    if pitch is None and l_valid % chunk != 0:
         # buffer chunk index: the bwd walks processed chunks in reverse
         c = t if reverse else (nc - 1 - t)
         pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
@@ -538,7 +606,7 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
         gy = jnp.where(valid, gy, 0.0)
 
     E, F, ehalf, _G, _hb, h_all, _h_last, dub = _ssd_forward_core(
-        dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse)
+        dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
 
     # adjoint scan: dh_t = F_t * (revcumsum_t(E q) + E_end_j * V_j) with the
     # cross-segment carries V solved by a tau-stride doubling scan running
@@ -550,22 +618,30 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     eq = E * q
     rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1))
     rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]     # adj cumsum | seg totals
-    carry_b = jnp.broadcast_to(dh_scr[...][..., None],
-                               dh_scr.shape + (chunk,))
+    carry = dh_scr[j]
+    carry_b = jnp.broadcast_to(carry[..., None], carry.shape + (chunk,))
     p = ehalf * ehalf
     bprime = ehalf * rcsum                             # b'_j = E_end_j sum(Eq)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
+    # the adjoint scan runs opposite to the primal direction; for packed
+    # chunks, decouple elements with the matching reset mask
+    reset = (None if pitch is None else
+             _pack_reset_mask(reverse, pitch, tau, chunk))
+    if reset is not None:
+        p = jnp.where(reset, 0.0, p)
     if reverse:
         bprime = jnp.where(lane < tau, bprime + p * carry_b, bprime)
         rv = _seg_scan_fwd(p, bprime, tau, chunk)
         v = jnp.concatenate([carry_b[..., :tau], rv[..., :-tau]], axis=-1)
-        dh_scr[...] = _col(rv, -1)
+        dh_scr[j] = _col(rv, -1)
     else:
         bprime = jnp.where(lane >= chunk - tau,        # fold carry: V_{R-1}
                            bprime + p * carry_b, bprime)
         rv = _seg_scan_rev(p, bprime, tau, chunk)      # rv_j = V_{j-1}
         v = jnp.concatenate([rv[..., tau:], carry_b[..., :tau]], axis=-1)
-        dh_scr[...] = _col(rv, 0)                      # = a_0 dh_0 carry
+        dh_scr[j] = _col(rv, 0)                        # = a_0 dh_0 carry
+    if reset is not None:
+        v = jnp.where(reset, 0.0, v)
     dh = F * (rc + ehalf * v)
 
     # parameter/input gradients (a_t h_{t-1} = h_t - dub_t)
@@ -577,8 +653,21 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
 
     du_ref[:, 0] = du_out
     ddt_ref[:, 0] = ddt_raw
-    dB_ref[0, :, 0] = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)
-    dC_ref[0, :, 0] = jnp.sum(h_all * gy[:, :, None, :], axis=1)
+    # dB/dC blocks are j-independent: accumulated in VMEM across the
+    # innermost d-block sweep, written back once per (group, batch, chunk)
+    dbc = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)
+    dcc = jnp.sum(h_all * gy[:, :, None, :], axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        dB_ref[:, 0] = dbc
+        dC_ref[:, 0] = dcc
+
+    @pl.when(j > 0)
+    def _():
+        dB_ref[:, 0] += dbc
+        dC_ref[:, 0] += dcc
+
     dA_ref[0] += jnp.sum(p * dt[:, :, None, :], axis=(0, 3))
     dbias_ref[0, 0, :, :] += jnp.sum(ddt_raw, axis=(0, 2))[:, None]
     dD_ref[0, 0, :, :] += jnp.sum(gy * u, axis=(0, 2))[:, None]
@@ -664,27 +753,11 @@ def _bwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
 
 
 def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
-                l_valid: int, reverse: bool = False):
+                l_valid: int, reverse: bool = False,
+                pitch: Optional[int] = None):
     bb, g, dpg, lp = u.shape
     n = A.shape[-1]
     nc = lp // chunk
-    if _kernel_impl() == "ssd":
-        # see _fwd_pallas: the SSD backward holds the most live cubes
-        # (fwd recompute + adjoint scan + gradient products)
-        b_blk, dblk = _pick_blocks(bb, dpg, n, chunk,
-                                   vmem_cube_budget=int(os.environ.get(
-                                       "MEDMAMBA_SCAN_CUBE_BUDGET_BWD",
-                                       512 * 1024)))
-        kernel = functools.partial(_bwd_kernel_ssd, l_valid=l_valid,
-                                   chunk=chunk, tau=min(SUBCHUNK, chunk),
-                                   reverse=reverse)
-    else:
-        assert not reverse, "reverse scans require the ssd kernel"
-        b_blk, dblk = _pick_blocks(bb, dpg, n, chunk,
-                                   vmem_cube_budget=1024 * 1024)
-        kernel = functools.partial(_bwd_kernel, l_valid=l_valid, chunk=chunk)
-    nd = dpg // dblk
-    grid = (nd, g, bb // b_blk, nc)
 
     def rev(t):
         return nc - 1 - t
@@ -693,6 +766,84 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
         # processed chunks run in reverse; for reversed scans that is buffer
         # order first-to-last
         return t if reverse else nc - 1 - t
+
+    if _kernel_impl() == "ssd":
+        # see _fwd_pallas: the SSD backward holds the most live cubes
+        # (fwd recompute + adjoint scan + gradient products)
+        b_blk, dblk = _pick_blocks(bb, dpg, n, chunk,
+                                   vmem_cube_budget=int(os.environ.get(
+                                       "MEDMAMBA_SCAN_CUBE_BUDGET_BWD",
+                                       512 * 1024)))
+        kernel = functools.partial(_bwd_kernel_ssd, l_valid=l_valid,
+                                   chunk=chunk, tau=min(_tau(), chunk),
+                                   reverse=reverse, pitch=pitch)
+        nd = dpg // dblk
+        # d-block innermost: B/C blocks and the dB/dC accumulators are
+        # j-independent and stay VMEM-resident across the d-block sweep
+        grid = (g, bb // b_blk, nc, nd)
+        du, ddt, dB, dC, dA, dbias, dD = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((b_blk, 1, dblk, chunk),
+                             lambda gg, b, t, j: (b, gg, j, data_t(t))),
+                pl.BlockSpec((b_blk, 1, dblk, chunk),
+                             lambda gg, b, t, j: (b, gg, j, data_t(t))),
+                pl.BlockSpec((b_blk, 1, n, chunk),
+                             lambda gg, b, t, j: (b, gg, 0, data_t(t))),
+                pl.BlockSpec((b_blk, 1, n, chunk),
+                             lambda gg, b, t, j: (b, gg, 0, data_t(t))),
+                pl.BlockSpec((1, dblk, n), lambda gg, b, t, j: (gg, j, 0)),
+                pl.BlockSpec((1, 1, dblk, 1),
+                             lambda gg, b, t, j: (gg, j, 0, 0)),
+                pl.BlockSpec((1, 1, dblk, 1),
+                             lambda gg, b, t, j: (gg, j, 0, 0)),
+                pl.BlockSpec((b_blk, 1, 1, dblk, n),
+                             lambda gg, b, t, j: (b, gg, rev(t), j, 0)),
+                pl.BlockSpec((b_blk, 1, dblk, chunk),
+                             lambda gg, b, t, j: (b, gg, j, data_t(t))),
+            ],
+            out_specs=[
+                pl.BlockSpec((b_blk, 1, dblk, chunk),
+                             lambda gg, b, t, j: (b, gg, j, data_t(t))),
+                pl.BlockSpec((b_blk, 1, dblk, chunk),
+                             lambda gg, b, t, j: (b, gg, j, data_t(t))),
+                pl.BlockSpec((b_blk, 1, n, chunk),
+                             lambda gg, b, t, j: (b, gg, 0, data_t(t))),
+                pl.BlockSpec((b_blk, 1, n, chunk),
+                             lambda gg, b, t, j: (b, gg, 0, data_t(t))),
+                pl.BlockSpec((1, dblk, n), lambda gg, b, t, j: (gg, j, 0)),
+                pl.BlockSpec((1, 1, dblk, 1),
+                             lambda gg, b, t, j: (gg, j, 0, 0)),
+                pl.BlockSpec((1, 1, dblk, 1),
+                             lambda gg, b, t, j: (gg, j, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bb, g, dpg, lp), jnp.float32),
+                jax.ShapeDtypeStruct((bb, g, dpg, lp), jnp.float32),
+                jax.ShapeDtypeStruct((bb, g, n, lp), jnp.float32),
+                jax.ShapeDtypeStruct((bb, g, n, lp), jnp.float32),
+                jax.ShapeDtypeStruct((g, dpg, n), jnp.float32),
+                jax.ShapeDtypeStruct((g, nd, dblk, 1), jnp.float32),
+                jax.ShapeDtypeStruct((g, nd, dblk, 1), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((nd, b_blk, dblk, n), jnp.float32)],
+            # no dimension_semantics: declaring dims parallel was measured
+            # ~10% SLOWER here, and every dim carries some accumulation
+            interpret=_interpret(),
+        )(u, delta, B, C, A,
+          bias.reshape(g, nd, dblk, 1), D.reshape(g, nd, dblk, 1),
+          states, gy)
+        return (du, ddt, dB, dC, dA,
+                dbias.reshape(g, dpg), dD.reshape(g, dpg))
+
+    assert not reverse and pitch is None, \
+        "reverse/packed scans require the ssd kernel"
+    b_blk, dblk = _pick_blocks(bb, dpg, n, chunk,
+                               vmem_cube_budget=1024 * 1024)
+    kernel = functools.partial(_bwd_kernel, l_valid=l_valid, chunk=chunk)
+    nd = dpg // dblk
+    grid = (nd, g, bb // b_blk, nc)
 
     st_spec = pl.BlockSpec((b_blk, 1, 1, dblk, n),
                            lambda j, gg, b, t: (b, gg, rev(t), j, 0))
@@ -739,9 +890,6 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
             jax.ShapeDtypeStruct((g, nd, dblk, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b_blk, dblk, n), jnp.float32)],
-        # note: no dimension_semantics here -- declaring (j, gg) parallel was
-        # measured ~10% SLOWER for this kernel (85.5 -> 94.6 ms at stage 1),
-        # and the (batch, chunk) dims carry the dA/dbias/dD accumulation
         interpret=_interpret(),
     )(u, delta, B, C, A,
       bias.reshape(g, nd, dblk, 1), D.reshape(g, nd, dblk, 1), states, gy)
@@ -780,31 +928,34 @@ def _layout(u, delta, A, B, C, D, bias, chunk):
     return u4, dt4, A3, B4, C4, D2, bias2, l, lp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _scan_core(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _scan_core(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False,
+               pitch=None):
     (y, _last), _res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
-                                      reverse)
+                                      reverse, pitch)
     return y
 
 
-def _scan_core_fwd(u, delta, A, B, C, D, bias, chunk, reverse=False):
+def _scan_core_fwd(u, delta, A, B, C, D, bias, chunk, reverse=False,
+                   pitch=None):
     bb, d, l = u.shape
     u4, dt4, A3, B4, C4, D2, bias2, l, lp = _layout(
         u, delta, A, B, C, D, bias, chunk)
     y4, states, last = _fwd_pallas(u4, dt4, A3, B4, C4, D2, bias2, chunk, l,
-                                   reverse=reverse)
+                                   reverse=reverse, pitch=pitch)
     y = y4.reshape(bb, d, lp)[:, :, :l]
     res = (u4, dt4, A3, B4, C4, D2, bias2, states)
     return (y, last.reshape(bb, d, -1)), res
 
 
-def _vjp_fwd(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False):
+def _vjp_fwd(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False,
+             pitch=None):
     (y, _last), res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
-                                     reverse)
+                                     reverse, pitch)
     return y, res
 
 
-def _vjp_bwd(chunk, in_dtypes, reverse, res, gy):
+def _vjp_bwd(chunk, in_dtypes, reverse, pitch, res, gy):
     u4, dt4, A3, B4, C4, D2, bias2, states = res
     bb, g, dpg, lp = u4.shape
     d = g * dpg
@@ -815,7 +966,7 @@ def _vjp_bwd(chunk, in_dtypes, reverse, res, gy):
     gy4 = gy.reshape(bb, g, dpg, lp).astype(jnp.float32)
     du, ddt, dB, dC, dA, dbias, dD = _bwd_pallas(
         u4, dt4, A3, B4, C4, D2, bias2, states, gy4, chunk, l,
-        reverse=reverse)
+        reverse=reverse, pitch=pitch)
     du = du.reshape(bb, d, lp)[:, :, :l]
     ddt = ddt.reshape(bb, d, lp)[:, :, :l]
     dB = dB[..., :l]
@@ -929,13 +1080,43 @@ def selective_scan_pallas(
         return stitch(out_f, out_r)
 
     reverse = bool(flags and all(flags))
+    bb = u.shape[0]
     l = u.shape[-1]
     c = min(chunk, _cdiv(l, 128) * 128)
+    in_dtypes = tuple(str(x.dtype) for x in
+                      (u, delta, A, B, C, D, delta_bias))
+
+    # Batch packing for short sequences (VSSM stage 4: L=49 would waste 62%
+    # of the 128 lanes): lay chunk//pitch batch elements side by side along
+    # the lane axis, each padded to a whole number of tau segments; in-kernel
+    # reset masks (see _pack_reset_mask) decouple them. Zero-padded inputs
+    # need no extra validity masking: pad decay factors cancel in all E*F
+    # pairwise differences and only feed reset-blocked segment boundaries.
+    tau = min(_tau(), c)
+    if (not return_last_state and _kernel_impl() == "ssd"
+            and os.environ.get("MEDMAMBA_SCAN_PACK", "1") != "0"):
+        p_cand = _cdiv(l, tau) * tau
+        if p_cand < c and c % p_cand == 0 and bb % (c // p_cand) == 0:
+            pitch = p_cand
+            npack = c // pitch
+            pad = pitch - l
+
+            def pack(x):
+                x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+                x = x.reshape((bb // npack, npack) + x.shape[1:])
+                x = jnp.moveaxis(x, 1, -2)
+                return x.reshape(x.shape[:-2] + (npack * pitch,))
+
+            y = _scan_core(pack(u), pack(delta),
+                           jnp.asarray(A, jnp.float32), pack(B), pack(C),
+                           D, delta_bias, c, in_dtypes, reverse, pitch)
+            y = y.reshape(y.shape[:-1] + (npack, pitch))
+            y = jnp.moveaxis(y, -2, 1)
+            return y.reshape((bb,) + y.shape[2:])[..., :l]
+
     if return_last_state:
         (y, last), _ = _scan_core_fwd(u, delta, jnp.asarray(A, jnp.float32),
                                       B, C, D, delta_bias, c, reverse)
         return y, last
-    in_dtypes = tuple(str(x.dtype) for x in
-                      (u, delta, A, B, C, D, delta_bias))
     return _scan_core(u, delta, jnp.asarray(A, jnp.float32), B, C, D,
                       delta_bias, c, in_dtypes, reverse)

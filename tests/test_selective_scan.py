@@ -2,6 +2,7 @@ import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
+import os
 
 from medmamba_tpu.ops.selective_scan import selective_scan, selective_scan_assoc, selective_scan_seq
 from medmamba_tpu.ops.cross_scan import cross_scan, cross_merge
@@ -140,6 +141,42 @@ def test_reverse_dirs_matches_explicit_flips(impl):
     y = selective_scan(u, delta, A, B, C, D, delta_bias=bias,
                        delta_softplus=True, impl=impl, reverse_dirs=flags)
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-3, atol=3e-3)
+
+
+@pytest.mark.parametrize("l,b", [(49, 4), (20, 4)])
+def test_pallas_batch_packing_matches_unpacked(l, b):
+    """Short-L batch packing (several batch elements per 128-lane chunk with
+    in-kernel reset masks) must match the unpacked kernel: fwd, grads, and
+    reverse direction."""
+    from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+
+    rng = np.random.default_rng(11)
+    u, delta, A, B, C, D, bias = _make_inputs(rng, b=b, d=8, n=4, l=l, g=2)
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+
+    def run(rev):
+        def loss(a):
+            y = selective_scan_pallas(
+                a[0], a[1], a[2], a[3], a[4], a[5], delta_bias=a[6],
+                delta_softplus=True, reverse_dirs=(rev, rev))
+            return jnp.sum(y * jnp.cos(y)), y
+        (_, y), grads = jax.value_and_grad(loss, has_aux=True)(args)
+        return y, grads
+
+    for rev in (False, True):
+        os.environ.pop("MEDMAMBA_SCAN_PACK", None)
+        y_p, g_p = run(rev)
+        os.environ["MEDMAMBA_SCAN_PACK"] = "0"
+        try:
+            y_u, g_u = run(rev)
+        finally:
+            os.environ.pop("MEDMAMBA_SCAN_PACK", None)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_u),
+                                   rtol=1e-4, atol=1e-4)
+        for gp, gu in zip(g_p, g_u):
+            scale = np.abs(np.asarray(gu)).max() + 1e-6
+            assert np.abs(np.asarray(gp) - np.asarray(gu)).max() / scale \
+                < 1e-3, f"rev={rev}"
 
 
 def test_cross_scan_noflip_roundtrip():
