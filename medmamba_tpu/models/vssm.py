@@ -286,12 +286,15 @@ class SS2D(nn.Module):
                 delta_softplus=True, impl=self.scan_impl,
                 reverse_dirs=(rev, rev),
             )  # (B, 2*D, L) float32, buffer order
-            return y.reshape(b, 2, d_inner, l)
+            # the scan core itself stays fp32 (reference contract); in bf16
+            # block mode the merge/transpose/out_norm chain that follows runs
+            # in the block dtype (halves its bandwidth; fp32 mode unchanged)
+            return y.reshape(b, 2, d_inner, l).astype(self.dtype)
 
         y = cross_merge_fr(scan_pair((0, 1), False), scan_pair((2, 3), True),
                            h, w)  # (B, D, L)
         y = jnp.transpose(y, (0, 2, 1)).reshape(b, h, w, d_inner)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(y)
         y = y.astype(self.dtype) * nn.silu(z)
         out = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=trunc_normal_02,
                        dtype=self.dtype, name="out_proj")(y)

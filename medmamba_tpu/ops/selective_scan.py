@@ -288,6 +288,11 @@ def selective_scan(
             reverse_dirs=rflags,
         )
     fn = IMPLS[impl]
+    if impl == "stub":
+        # the stub is an elementwise no-op (y = D*u): flip + unflip would be
+        # an identity that costs real `rev` copies, polluting the non-scan
+        # benchmark breakdown it exists for
+        reverse_dirs = None
     u, delta, B, C = _flip_group_seqs(u, delta, B, C, reverse_dirs)
     out = fn(
         u, delta, A, B, C, D,
