@@ -57,7 +57,12 @@ def _interpret() -> bool:
 def _compute_dtype():
     """Scan-internal compute dtype. float32 by default (parity with the
     reference's forced-fp32 scan core, MedMamba.py:265-271); set
-    MEDMAMBA_SCAN_COMPUTE=bfloat16 to trade precision for VPU throughput."""
+    MEDMAMBA_SCAN_COMPUTE=bfloat16 to trade precision for VPU throughput.
+
+    In the SSD kernel the bf16 mode keeps exponent computation (g), the
+    segment-boundary states, and all cross-N accumulations in fp32; only the
+    full-cube factor tensors (E/F/ehalf/w/q/h) are bf16 (~8-bit mantissa ->
+    ~1e-2 relative error vs the fp32 core; see tests)."""
     return jnp.bfloat16 if os.environ.get(
         "MEDMAMBA_SCAN_COMPUTE") == "bfloat16" else jnp.float32
 
@@ -261,6 +266,13 @@ def _matmul_t(x, m, hi_fidelity: bool = False):
     dn = (((1,), (0,)), ((), ()))
     mode = "highest" if hi_fidelity else os.environ.get(
         "MEDMAMBA_SSD_PREC", "split2")
+    if x2.dtype == jnp.bfloat16:
+        # bf16 cube mode: operands already carry only 8 mantissa bits --
+        # one DEFAULT pass with fp32 accumulation is exact for them
+        return jax.lax.dot_general(
+            x2, m.astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32,
+        ).reshape(shape[:-1] + (m.shape[1],))
     if mode == "split2":
         mb = m.astype(jnp.bfloat16)
         hi = x2.astype(jnp.bfloat16)
@@ -317,6 +329,7 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
     Returns (E, F, ehalf, G, hin_bcast, h_all, h_last, dub); h_last is None
     in hin_bcast mode.
     """
+    cdt = _compute_dtype()
     m_cum, m_rev, m_seg = _seg_matrices(chunk, tau)
     m_dir = m_rev if reverse else m_cum
     # one (T, 2T) matmul: [segmented cumsum - half segment total | seg total];
@@ -325,16 +338,16 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
         [m_dir - 0.5 * m_seg, m_seg], axis=1), hi_fidelity=True)
     S2, send = s2send[..., :chunk], s2send[..., chunk:]
     g = jnp.clip(A[None, :, :, None] * S2[:, :, None, :], -_CLIP, _CLIP)
-    E = jnp.exp(g)                               # (Bb, Db, N, T)
+    E = jnp.exp(g).astype(cdt)                   # (Bb, Db, N, T)
     # exp runs on the VPU's transcendental path at ~zero marginal cost
     # (measured by ablation); a true divide does not
-    F = jnp.exp(-g)
+    F = jnp.exp(-g).astype(cdt)
     # exp(m_j/2) = decay over half a segment; exponent <= 0, no clip needed
     ehalf = jnp.exp((0.5 * send)[:, :, None, :] * A[None, :, :, None])
 
     du = dt * u
-    dub = du[:, :, None, :] * Bc[:, None]        # b_t = dt*u*B
-    w = F * dub
+    dub = du.astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
+    w = F * dub                                  # b_t = dt*u*B (cdt)
 
     h_last = None
     if hin_bcast is not None:
@@ -614,8 +627,9 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     # mirror when reverse=True)
     m_cum, m_rev, m_seg = _seg_matrices(chunk, tau)
     m_adj = m_cum if reverse else m_rev
-    q = Cc[:, None] * gy[:, :, None, :]                # (Bb, Db, N, T)
-    eq = E * q
+    cdt = _compute_dtype()
+    q = Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :]
+    eq = E * q                                         # (Bb, Db, N, T) cdt
     rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1))
     rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]     # adj cumsum | seg totals
     carry = dh_scr[j]

@@ -179,6 +179,26 @@ def test_pallas_batch_packing_matches_unpacked(l, b):
                 < 1e-3, f"rev={rev}"
 
 
+def test_pallas_bf16_cube_mode_tolerance():
+    """MEDMAMBA_SCAN_COMPUTE=bfloat16 (opt-in): full-cube factor tensors in
+    bf16, fp32 exponents/boundary states/accumulations. Documented accuracy:
+    ~1e-2 relative vs the fp32 core."""
+    from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+
+    rng = np.random.default_rng(13)
+    u, delta, A, B, C, D, bias = _make_inputs(rng, b=2, d=8, n=4, l=40, g=2)
+    y_ref = selective_scan_oracle(u, delta, A, B, C, D, bias,
+                                  delta_softplus=True)
+    os.environ["MEDMAMBA_SCAN_COMPUTE"] = "bfloat16"
+    try:
+        y = np.asarray(selective_scan_pallas(
+            u, delta, A, B, C, D, delta_bias=bias, delta_softplus=True))
+    finally:
+        os.environ.pop("MEDMAMBA_SCAN_COMPUTE", None)
+    scale = np.abs(y_ref).max()
+    assert np.abs(y - y_ref).max() / scale < 2e-2
+
+
 def test_cross_scan_noflip_roundtrip():
     """flip=False cross_scan + a manual per-direction reversal reproduces the
     flipped cross_scan exactly; merge with flipped=False matches the default
