@@ -41,7 +41,8 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 42, drop_last: bool = False,
-                 prefetch: int = 2, pad_to_full: bool = True):
+                 prefetch: int = 2, pad_to_full: bool = True,
+                 pad_multiple: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,6 +53,22 @@ class BatchLoader:
         # (keeps a single static shape -> one XLA compile; the trainer masks
         # label<0 in loss/accuracy)
         self.pad_to_full = pad_to_full
+        # Optionally round EVERY batch up to a multiple of ``pad_multiple``
+        # (the scan kernel blocks the batch dimension in 8s, so batch 100
+        # runs with batch-block 4). Padded rows carry label -1 and
+        # contribute exactly zero to every gradient (masked loss/BN; the
+        # scan's padded rows have u = gy = 0). MEASURED NET-NEGATIVE at the
+        # NPZ recipe (143.9 vs 149.0 img/s on v5e: +4% padded compute
+        # outweighs the batch-block-8 gain), so OFF by default; kept as an
+        # experiment knob for future block-shape changes.
+        self.pad_multiple = (max(1, pad_multiple)
+                             if pad_to_full and batch_size >= pad_multiple
+                             else 1)
+
+    @property
+    def padded_batch_size(self) -> int:
+        m = self.pad_multiple
+        return -(-self.batch_size // m) * m
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -90,8 +107,10 @@ class BatchLoader:
                         return
                     idx = order[i * self.batch_size:(i + 1) * self.batch_size]
                     imgs, labels = self.dataset.get_batch(idx)
-                    if self.pad_to_full and len(idx) < self.batch_size:
-                        pad = self.batch_size - len(idx)
+                    target = (self.padded_batch_size if self.pad_to_full
+                              else len(idx))
+                    if len(idx) < target:
+                        pad = target - len(idx)
                         imgs = np.concatenate(
                             [imgs, np.repeat(imgs[-1:], pad, 0)], 0)
                         labels = np.concatenate(

@@ -205,3 +205,37 @@ def test_x_proj_init_is_kaiming_uniform():
     assert np.abs(w).max() <= bound + 1e-7
     assert np.abs(w).max() > 0.8 * bound  # actually fills the range
     assert abs(w.mean()) < 0.1 * bound
+
+
+def test_loader_pads_batches_to_kernel_multiple(tmp_path):
+    """Batches >= 8 are rounded up to a multiple of 8 with label -1 padding
+    (the scan kernel blocks the batch dim in 8s); small batches,
+    pad_to_full=False, and the default (pad_multiple=1, measured faster at
+    the NPZ recipe) are left alone."""
+    import numpy as np
+    from medmamba_tpu.data.loader import BatchLoader
+
+    class DS:
+        def __len__(self):
+            return 25
+
+        def get_batch(self, idx):
+            return (np.zeros((len(idx), 4, 4, 3), np.uint8),
+                    np.asarray(idx, np.int64))
+
+    ld = BatchLoader(DS(), batch_size=10, shuffle=False, pad_multiple=8)
+    batches = list(ld.epoch(0))
+    assert [b[0].shape[0] for b in batches] == [16, 16, 16]
+    assert (batches[0][1][10:] == -1).all()          # rounding pad
+    assert (batches[2][1][5:] == -1).all()           # final partial + rounding
+    assert [l for b in batches for l in b[1] if l >= 0] == list(range(25))
+
+    ld4 = BatchLoader(DS(), batch_size=4, shuffle=False, pad_multiple=8)
+    assert next(iter(ld4.epoch(0)))[0].shape[0] == 4  # small batch untouched
+
+    ldn = BatchLoader(DS(), batch_size=10, shuffle=False, pad_to_full=False,
+                      pad_multiple=8)
+    assert next(iter(ldn.epoch(0)))[0].shape[0] == 10
+
+    ldd = BatchLoader(DS(), batch_size=10, shuffle=False)  # default: off
+    assert next(iter(ldd.epoch(0)))[0].shape[0] == 10
