@@ -53,6 +53,11 @@ def parse_args(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--scan_impl", type=str, default="auto",
                    choices=["auto", "pallas", "assoc", "seq"])
+    p.add_argument("--scan_tau", type=int, default=None, choices=[16, 32],
+                   help="Scan kernel sub-chunk length. 32 is ~15%% faster "
+                        "but exact only while |A*seg_sum(dt)| <= 160 per "
+                        "32-step segment (safe for trained-magnitude data; "
+                        "see docs/DESIGN.md). Default 16 (always exact).")
     p.add_argument("--use_checkpoint", action="store_true", default=False,
                    help="Activation rematerialization per block (jax.checkpoint).")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -115,6 +120,8 @@ def main(argv=None):
     log.info("Using %d train / %d val images, %d classes. Epochs %d, batch %d, lr %g",
              len(train_ds), len(val_ds), num_classes, epochs, batch_size, lr)
 
+    if args.scan_tau is not None:
+        os.environ["MEDMAMBA_SCAN_TAU"] = str(args.scan_tau)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = create_model(args.medmb_size, num_classes,
                          attn_drop_rate=args.attn_drop_rate, dtype=dtype,

@@ -105,13 +105,30 @@ def _col(x, idx):
     return jax.lax.slice_in_dim(x, idx, idx + 1, axis=x.ndim - 1)[..., 0]
 
 
+def _use_roll_shifts() -> bool:
+    """Lane shifts via pltpu.roll + masked select instead of pad+concat.
+    Measured IDENTICAL on v5e (27.23 vs 27.19 ms stage-1 fwd; oracle tests
+    green both ways) -- Mosaic lowers both to the same lane-rotate+select.
+    Kept as a knob for future Mosaic versions."""
+    return os.environ.get("MEDMAMBA_SCAN_SHIFT") == "roll"
+
+
 def _shift_r(x, step, fill):
     """Shift right along the last axis by ``step`` filling with ``fill``."""
+    if _use_roll_shifts() and not _interpret():
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        return jnp.where(lane < step, jnp.asarray(fill, x.dtype),
+                         pltpu.roll(x, step, x.ndim - 1))
     pad = jnp.full(x.shape[:-1] + (step,), fill, x.dtype)
     return jnp.concatenate([pad, x[..., :-step]], axis=-1)
 
 
 def _shift_l(x, step, fill):
+    if _use_roll_shifts() and not _interpret():
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        t = x.shape[-1]
+        return jnp.where(lane >= t - step, jnp.asarray(fill, x.dtype),
+                         pltpu.roll(x, t - step, x.ndim - 1))
     pad = jnp.full(x.shape[:-1] + (step,), fill, x.dtype)
     return jnp.concatenate([x[..., step:], pad], axis=-1)
 
