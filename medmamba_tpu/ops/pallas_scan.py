@@ -935,6 +935,21 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
 DEFAULT_CHUNK = 128
 
 
+def _pick_chunk(l: int, chunk: int) -> int:
+    """Chunk length (MEDMAMBA_SCAN_CHUNK overrides for experiments).
+
+    256-lane chunks were hypothesized to win by amortizing the
+    boundary-scan doubling over 2x the lanes (4 levels/256 vs 3/128) and
+    halving the chunk-carry count -- MEASURED SLOWER on v5e (stage-1 fwd
+    31.7 vs 27.2 ms, fwd+bwd 86.6 vs 75.8): the (T, 2T) cumsum-matmul work
+    per element doubles with T and the fixed VMEM cube budget halves
+    Bb*Db per program. 128 stays the default everywhere."""
+    env = os.environ.get("MEDMAMBA_SCAN_CHUNK")
+    if env:
+        return min(int(env), _cdiv(l, 128) * 128)
+    return min(chunk, _cdiv(l, 128) * 128)
+
+
 def _layout(u, delta, A, B, C, D, bias, chunk):
     """(B, D, L) channel layout -> grouped (Bb, G, dpg, Lp) padded layout."""
     bb, d, l = u.shape
@@ -1113,7 +1128,7 @@ def selective_scan_pallas(
     reverse = bool(flags and all(flags))
     bb = u.shape[0]
     l = u.shape[-1]
-    c = min(chunk, _cdiv(l, 128) * 128)
+    c = _pick_chunk(l, chunk)
     in_dtypes = tuple(str(x.dtype) for x in
                       (u, delta, A, B, C, D, delta_bias))
 
