@@ -596,13 +596,15 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
 def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     st_ref, gy_ref,
                     du_ref, ddt_ref, dB_ref, dC_ref, dA_ref, dbias_ref,
-                    dD_ref, dh_scr, *, l_valid: int, chunk: int, tau: int,
+                    dD_ref, dh_scr, dA_scr, dbias_scr, dD_scr,
+                    *, l_valid: int, chunk: int, tau: int,
                     reverse: bool = False, pitch: Optional[int] = None):
     # grid = (group, batch_block, L_chunk, d_block) -- d_block INNERMOST so
     # the j-independent B/C input blocks stay VMEM-resident across the
     # d-block sweep and dB/dC accumulate in VMEM instead of materializing
     # nd-expanded HBM tensors reduced outside the kernel
     b_id = pl.program_id(1)
+    nb = pl.num_programs(1)
     t = pl.program_id(2)
     nc = pl.num_programs(2)
     j = pl.program_id(3)
@@ -611,11 +613,18 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     def _():
         dh_scr[j] = jnp.zeros(dh_scr.shape[1:], dh_scr.dtype)
 
+    # dA/dbias/dD reduce over the OUTER (b, t) grid dims while their output
+    # block index tracks the inner j dim: revisits of each output block are
+    # non-consecutive. Pallas TPU only documents buffer persistence for
+    # consecutive same-block iterations, so accumulate into j-indexed VMEM
+    # scratch and write each block once on its final visit. (Measured on this
+    # backend the naive += also happened to be correct -- tools/repro_advice.py
+    # nd=8, batch-grid 8, nc=2 -- but that is observed, not guaranteed.)
     @pl.when(jnp.logical_and(b_id == 0, t == 0))
     def _():
-        dA_ref[...] = jnp.zeros(dA_ref.shape, dA_ref.dtype)
-        dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
-        dD_ref[...] = jnp.zeros(dD_ref.shape, dD_ref.dtype)
+        dA_scr[j] = jnp.zeros(dA_scr.shape[1:], dA_scr.dtype)
+        dbias_scr[j] = jnp.zeros(dbias_scr.shape[1:], dbias_scr.dtype)
+        dD_scr[j] = jnp.zeros(dD_scr.shape[1:], dD_scr.dtype)
 
     u = u_ref[:, 0].astype(jnp.float32)                # (Bb, Db, T)
     dt_raw = dt_ref[:, 0].astype(jnp.float32) + bias_ref[0, 0, :, :]
@@ -699,9 +708,15 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
         dB_ref[:, 0] += dbc
         dC_ref[:, 0] += dcc
 
-    dA_ref[0] += jnp.sum(p * dt[:, :, None, :], axis=(0, 3))
-    dbias_ref[0, 0, :, :] += jnp.sum(ddt_raw, axis=(0, 2))[:, None]
-    dD_ref[0, 0, :, :] += jnp.sum(gy * u, axis=(0, 2))[:, None]
+    dA_scr[j] += jnp.sum(p * dt[:, :, None, :], axis=(0, 3))
+    dbias_scr[j] += jnp.sum(ddt_raw, axis=(0, 2))[:, None]
+    dD_scr[j] += jnp.sum(gy * u, axis=(0, 2))[:, None]
+
+    @pl.when(jnp.logical_and(b_id == nb - 1, t == nc - 1))
+    def _():
+        dA_ref[0] = dA_scr[j]
+        dbias_ref[0, 0, :, :] = dbias_scr[j]
+        dD_ref[0, 0, :, :] = dD_scr[j]
 
 
 # ---------------------------------------------------------------------------
@@ -858,7 +873,10 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
                 jax.ShapeDtypeStruct((g, nd, dblk, 1), jnp.float32),
                 jax.ShapeDtypeStruct((g, nd, dblk, 1), jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((nd, b_blk, dblk, n), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((nd, b_blk, dblk, n), jnp.float32),
+                            pltpu.VMEM((nd, dblk, n), jnp.float32),
+                            pltpu.VMEM((nd, dblk, 1), jnp.float32),
+                            pltpu.VMEM((nd, dblk, 1), jnp.float32)],
             # no dimension_semantics: declaring dims parallel was measured
             # ~10% SLOWER here, and every dim carries some accumulation
             interpret=_interpret(),

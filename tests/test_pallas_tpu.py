@@ -95,6 +95,37 @@ def test_pallas_reverse_dirs_vs_flip_reference():
         assert np.abs(gp - ga).max() / scale < 1e-3, name
 
 
+def test_pallas_grads_multi_dblock(monkeypatch):
+    """ADVICE r2 high: dA/dbias/dD accumulate across outer grid dims while
+    their block index depends on the inner d_block dim j. Forcing a small
+    backward cube budget yields nd=8 d-blocks, batch-grid 8 and nc=2 -- the
+    claimed-undefined revisit pattern -- on the real chip. Measured correct
+    on this backend (2026-08-17, three shapes); the kernel additionally
+    accumulates these into j-indexed VMEM scratch so correctness follows from
+    documented Pallas semantics, not observed revisit behavior."""
+    import medmamba_tpu.ops.pallas_scan as ps
+    monkeypatch.setenv("MEDMAMBA_SCAN_CUBE_BUDGET_BWD", str(128 * 1024))
+    rng = np.random.default_rng(7)
+    u, delta, A, B, C, D, bias = _make(rng, b=16, d=64, n=16, g=1, l=256)
+    args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+    gyw = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32))
+
+    def loss(fn):
+        def f(a):
+            y = fn(a[0], a[1], a[2], a[3], a[4], a[5], delta_bias=a[6],
+                   delta_softplus=True)
+            return jnp.sum(y * gyw)
+        return f
+
+    g_p = jax.grad(loss(selective_scan_pallas))(args)
+    g_a = jax.grad(loss(selective_scan_assoc))(args)
+    for name, gp, ga in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_p, g_a):
+        gp, ga = np.asarray(gp), np.asarray(ga)
+        scale = np.abs(ga).max() + 1e-6
+        assert np.abs(gp - ga).max() / scale < 1e-3, name
+
+
 def test_pallas_grads_vs_assoc():
     rng = np.random.default_rng(2)
     u, delta, A, B, C, D, bias = _make(rng, b=2, d=16, n=8, g=2, l=200)
