@@ -22,3 +22,42 @@ import jax  # noqa: E402
 
 if not os.environ.get("MEDMAMBA_TPU_TESTS"):
     jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# Quick test tier: `-m "not slow"` finishes in ~2-3 min on this 1-core host
+# (the full suite takes ~20 min; interpret-mode Pallas and full-model XLA-CPU
+# compiles dominate). Membership = every test measured >13 s wall on this
+# host (pytest --durations, 2026-08-17). Quick-tier kernel coverage remains:
+# oracle tests for seq/assoc and the reverse-direction pallas interpret test.
+_SLOW = {
+    "test_graft_entry_dryrun", "test_tp_partitioned_params_step",
+    "test_dp_train_step_on_mesh_matches_single_device",
+    "test_pallas_kernel_shard_mapped_over_mesh",
+    "test_training_determinism", "test_checkpoint_roundtrip",
+    "test_train_loss_decreases_and_eval",
+    "test_vssm_seg_forward",
+    "test_logit_parity_full_T_model", "test_backbone_feature_parity_small",
+    "test_tiny_forward_shapes_and_finite",
+    "test_batchnorm_stats_update_in_train_mode",
+    "test_remat_matches_no_remat", "test_scan_impls_agree_in_model",
+    "test_odd_spatial_sizes",
+    "test_train_step_batch_stats_unaffected_by_padding",
+    "test_mobilenet_v2", "test_swin_tiny_forward",
+    "test_swin_shifted_window_runs", "test_vit_tiny_forward",
+    "test_pallas_batch_packing_matches_unpacked",
+    "test_pallas_interpret_mode_on_cpu",
+    "test_grad_cam_tiny_model",
+    "test_mobilenet_v2_logits_match_reference",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: excluded from the quick tier (-m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.originalname in _SLOW or item.name in _SLOW:
+            item.add_marker(pytest.mark.slow)
