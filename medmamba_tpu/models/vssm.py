@@ -294,7 +294,13 @@ class SS2D(nn.Module):
         y = cross_merge_fr(scan_pair((0, 1), False), scan_pair((2, 3), True),
                            h, w)  # (B, D, L)
         y = jnp.transpose(y, (0, 2, 1)).reshape(b, h, w, d_inner)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(y)
+        # out_norm statistics in fp32 even in bf16 block mode: torch runs
+        # LayerNorm in fp32 under AMP autocast, and mean/var of bf16
+        # activations lose ~3 digits (ADVICE r2). The surrounding chain stays
+        # in block dtype (the cast below restores it), so the bandwidth win of
+        # the bf16 merge/transpose path is kept; only the fused normalization
+        # arithmetic is promoted.
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm")(y)
         y = y.astype(self.dtype) * nn.silu(z)
         out = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=trunc_normal_02,
                        dtype=self.dtype, name="out_proj")(y)

@@ -83,3 +83,95 @@ def test_loading_converted_weights_into_torch():
     missing, unexpected = ref.load_state_dict(back, strict=False)
     assert not unexpected
     assert all(k.endswith("num_batches_tracked") for k in missing)
+
+
+def test_training_trajectory_parity():
+    """Backward-path parity vs the actual torch reference (VERDICT r2 #5).
+
+    Forward-logit parity alone would not catch a model-level grad-flow wiring
+    error (BN stat handling, DropPath scaling, dtype seams): here both
+    frameworks start from the converter-identical init, see identical batches,
+    and run 12 fp32 AdamW steps with the reference NPZ recipe
+    (lr only => torch AdamW defaults wd=0.01, train.py:190). Asserts
+    per-parameter gradient agreement at step 0 (first-divergence diagnosis)
+    and per-step loss agreement over the trajectory.
+    """
+    import optax
+    from medmamba_tpu.train.trainer import cross_entropy
+
+    num_classes, steps, batch, img = 3, 12, 4, 32
+    torch.manual_seed(4)
+    ref = load_reference_vssm(depths=[1, 1], dims=[16, 32],
+                              num_classes=num_classes, drop_rate=0.0,
+                              attn_drop_rate=0.0, drop_path_rate=0.0)
+    variables = torch_to_flax(ref.state_dict())
+    model = VSSM(num_classes=num_classes, depths=(1, 1), dims=(16, 32),
+                 drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+                 scan_impl="seq")
+
+    rng = np.random.default_rng(7)
+    xs = rng.standard_normal((steps, batch, img, img, 3)).astype(np.float32)
+    ys = rng.integers(0, num_classes, (steps, batch)).astype(np.int64)
+
+    # --- torch trajectory (reference train.py:187-196, 282-285 semantics) ---
+    opt = torch.optim.AdamW(ref.parameters(), lr=1e-3)
+    ce = torch.nn.CrossEntropyLoss()
+    ref.train()
+    torch_losses, torch_grads0 = [], None
+    for i in range(steps):
+        opt.zero_grad()
+        out = ref(torch.from_numpy(xs[i]).permute(0, 3, 1, 2))
+        loss = ce(out, torch.from_numpy(ys[i]))
+        loss.backward()
+        if i == 0:
+            torch_grads0 = {k: p.grad.detach().numpy().copy()
+                            for k, p in ref.named_parameters()
+                            if p.grad is not None}
+        opt.step()
+        torch_losses.append(float(loss))
+
+    # --- flax trajectory ---
+    tx = optax.adamw(1e-3, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    drop_key = jax.random.PRNGKey(0)  # all drop rates are 0: key is inert
+
+    @jax.jit
+    def step_fn(params, batch_stats, opt_state, x, y):
+        def loss_fn(p):
+            outs, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, False,
+                rngs={"dropout": drop_key}, mutable=["batch_stats"])
+            return cross_entropy(outs, y), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt, loss, grads
+
+    flax_losses = []
+    for i in range(steps):
+        params, batch_stats, opt_state, loss, grads = step_fn(
+            params, batch_stats, opt_state,
+            jnp.asarray(xs[i]), jnp.asarray(ys[i]))
+        if i == 0:
+            # per-parameter grad agreement, reported by reference key name
+            back = flax_to_torch({"params": jax.tree.map(np.asarray, grads),
+                                  "batch_stats": batch_stats})
+            gmax = max(np.abs(tg).max() for tg in torch_grads0.values())
+            for k, tg in sorted(torch_grads0.items()):
+                fg = back[k]
+                # scale floor at 1% of the global grad magnitude: grads that
+                # are analytically ~0 (conv biases feeding BatchNorm) are pure
+                # rounding noise and carry no meaningful relative error
+                scale = max(np.abs(tg).max(), 1e-2 * gmax)
+                err = np.abs(fg - tg).max() / scale
+                assert err < 1e-3, f"step-0 grad divergence at {k}: {err:.2e}"
+        flax_losses.append(float(loss))
+
+    # fp32 rounding differences compound across steps; 1e-3 absolute on a
+    # O(1) CE loss is far below any wiring error (which shows up as O(1))
+    np.testing.assert_allclose(flax_losses, torch_losses, rtol=0, atol=1e-3,
+                               err_msg=f"torch={torch_losses} flax={flax_losses}")
