@@ -327,6 +327,115 @@ def _pack_reset_mask(scan_is_fwd: bool, pitch: int, tau: int, chunk: int):
     return (inelem >= pitch - tau) & (lane < chunk - tau)
 
 
+def _boundary_impl() -> str:
+    """auto (default): the compact per-segment form when the chunk is a
+    single tau-segment (where it degenerates to a free lane-broadcast --
+    the tau=chunk fast path), the round-2 cube form otherwise.
+
+    Forcing compact for nseg>1 was built and MEASURED SLOWER on v5e
+    (stage-1 fwd 63.1 vs 26.9 ms, fwd+bwd 183.7 vs 76.7): the per-segment
+    (Bb, Db, N) pieces cost ~33 tiny relayout/extract/stack ops per grid
+    step whose fixed overheads dwarf the ~15 cube passes they replace.
+    (The fused (Bb, Db, N*nseg)-lane layout that would fix this does not
+    compile: Mosaic rejects sublane<->lane reshape casts and strided lane
+    gathers -- see tools/probe_mosaic.py.) Values: auto | compact | cube."""
+    return os.environ.get("MEDMAMBA_SCAN_BOUNDARY", "auto")
+
+
+def _use_compact(chunk: int, tau: int) -> bool:
+    mode = _boundary_impl()
+    if mode == "auto":
+        return chunk // tau == 1
+    return mode == "compact"
+
+
+def _pick_matrix(t_len: int, tau: int):
+    """(T, nseg) 0/1 matrix: m[s, j] = 1 iff s lies in tau-segment j.
+    Right-multiplying compacts per-segment sums; its transpose broadcasts
+    per-segment values back along T."""
+    nseg = t_len // tau
+    s = jax.lax.broadcasted_iota(jnp.int32, (t_len, nseg), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (t_len, nseg), 1)
+    return ((s // tau) == j).astype(jnp.float32)
+
+
+def _ssd_core_compact(dt, u, A, Bc, chunk: int, tau: int, h0,
+                      reverse: bool = False, pitch: Optional[int] = None):
+    """Compact-boundary SSD forward machinery (round 3).
+
+    Same closed form as _ssd_forward_core, but the segment-boundary
+    recurrence runs as a static nseg-step loop over per-segment (Bb, Db, N)
+    tensors (1/tau of cube scale) instead of tau-replicated doubling scans
+    over (Bb, Db, N, T) cubes: the round-2 kernel spent ~15 of its ~33
+    full-cube VPU passes on that boundary machinery. The only cube-scale
+    boundary op left is one (nseg, T)-selector matmul broadcasting the
+    per-segment entry states back along T -- MXU work, not VPU passes.
+    Mosaic constraints shaped this design (see tools/probe_mosaic.py):
+    sublane<->lane reshapes and strided lane gathers do not compile, but
+    static minor-dim indexing, axis stacking, and minor-R matmul operands
+    do.
+
+    Per-segment values are Python lists indexed by segment -- everything
+    (processing order, packed-element resets) is resolved at trace time,
+    so the packed path needs no runtime masks here at all.
+
+    Returns (E, F, ehs, ps, GvT, h_last):
+      E/F: centered decay cubes (Bb, Db, N, T), compute dtype;
+      ehs/ps: per-segment half/full decays, nseg-lists of (Bb, Db, N);
+      GvT: G + broadcast(eh * hin), i.e. h_all = E * GvT;
+      h_last: chunk-exit state (Bb, Db, N) fp32.
+    """
+    cdt = _compute_dtype()
+    nseg = chunk // tau
+    m_cum, m_rev, m_seg = _seg_matrices(chunk, tau)
+    m_dir = m_rev if reverse else m_cum
+    m_pick = _pick_matrix(chunk, tau)
+    # dt cumsum + per-segment totals in one HIGHEST matmul (feeds exp)
+    s2send = _matmul_t(dt, jnp.concatenate(
+        [m_dir - 0.5 * m_seg, m_pick], axis=1), hi_fidelity=True)
+    S2 = s2send[..., :chunk]
+    g = jnp.clip(A[None, :, :, None] * S2[:, :, None, :], -_CLIP, _CLIP)
+    E = jnp.exp(g).astype(cdt)                              # (Bb, Db, N, T)
+    F = jnp.exp(-g).astype(cdt)
+    # b_t = F * dt*u*B fused (no materialized dub in the forward)
+    du = dt * u
+    w = F * (du.astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None])
+    # within-segment scan (MXU) + per-segment totals
+    gg = _matmul_t(w, jnp.concatenate([m_dir, m_pick], axis=1))
+    G = gg[..., :chunk]
+    # per-segment pieces: eh_j = E at segment j's end = exp(A * send_j / 2)
+    # (exponent <= 0: underflows to 0 gracefully, no clip needed)
+    ehs, ps, zs = [], [], []
+    for j in range(nseg):
+        sj = _col(s2send, chunk + j)                        # (Bb, Db)
+        eh = jnp.exp(0.5 * sj[:, :, None] * A[None])        # (Bb, Db, N)
+        ehs.append(eh)
+        ps.append(eh * eh)                                  # e^{m_j}
+        zs.append(eh * _col(gg, chunk + j))                 # E_end_j * gsum_j
+    # segment-boundary recurrence Hend_j = p_j Hend_prev + z_j as a static
+    # sequential loop (processing order and packed-element boundaries are
+    # compile-time constants)
+    spe = None if pitch is None else pitch // tau
+    order = range(nseg - 1, -1, -1) if reverse else range(nseg)
+    hins = [None] * nseg
+    h = h0
+    for idx, j in enumerate(order):
+        if spe is not None and idx % spe == 0 and idx > 0:
+            h = jnp.zeros_like(h0)      # packed element enters with zero state
+        hins[j] = h
+        h = ps[j] * h + zs[j]
+    h_last = h
+    # state contribution broadcast back along T: with one segment per chunk
+    # (the tau=chunk fast path) it is a free lane-broadcast; otherwise an MXU
+    # matmul against the transposed pick matrix. h_all = E * (G + vT).
+    if nseg == 1:
+        vT = (ehs[0] * hins[0])[..., None]
+    else:
+        v8 = jnp.stack([ehs[j] * hins[j] for j in range(nseg)], axis=-1)
+        vT = _matmul_t(v8, m_pick.T)
+    return E, F, ehs, ps, G + vT, h_last
+
+
 def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
                       h0=None, hin_bcast=None, reverse: bool = False,
                       pitch: Optional[int] = None):
@@ -407,7 +516,8 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
 def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     y_ref, st_ref, last_ref, h_scr,
                     *, l_valid: int, chunk: int, tau: int,
-                    reverse: bool = False, pitch: Optional[int] = None):
+                    reverse: bool = False, pitch: Optional[int] = None,
+                    elem_len: Optional[int] = None):
     t = pl.program_id(3)
     nc = pl.num_programs(3)
 
@@ -426,14 +536,25 @@ def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
         pos = c * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, chunk), 2)
         dt = jnp.where(pos < l_valid, dt, 0.0)        # pad: decay 1, inject 0
+    if pitch is not None and elem_len is not None and elem_len < pitch:
+        # packed tails: zero dt past each element's true length so pad lanes
+        # carry decay 1 / inject 0 exactly like the unpacked path (ADVICE r2:
+        # unmasked pad dt consumed CLIP headroom in the near-clip regime)
+        inelem = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, chunk), 2) % pitch
+        dt = jnp.where(inelem < elem_len, dt, 0.0)
     A = A_ref[0]                                      # (Db, N)
     Bc = B_ref[:, 0].astype(jnp.float32)              # (Bb, N, T)
     Cc = C_ref[:, 0].astype(jnp.float32)
 
-    _E, _F, _eh, _G, hin_bcast, h_all, h_last, _dub = _ssd_forward_core(
-        dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
-
-    y = jnp.sum(h_all * Cc[:, None], axis=2)          # (Bb, Db, T)
+    if _use_compact(chunk, tau):
+        E, _F, _ehs, _ps, GvT, h_last = _ssd_core_compact(
+            dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
+        y = jnp.sum(E * GvT * Cc[:, None], axis=2)    # (Bb, Db, T) fp32
+    else:
+        _E, _F, _eh, _G, hin_bcast, h_all, h_last, _dub = _ssd_forward_core(
+            dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
+        y = jnp.sum(h_all * Cc[:, None], axis=2)      # (Bb, Db, T)
     y_ref[:, 0] = y + D_ref[0, 0, :, :] * u
     h_scr[...] = h_last
 
@@ -507,7 +628,8 @@ def _kernel_impl() -> str:
 
 
 def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
-                reverse: bool = False, pitch: Optional[int] = None):
+                reverse: bool = False, pitch: Optional[int] = None,
+                elem_len: Optional[int] = None):
     """u/delta: (Bb, G, dpg, Lp); B/C: (Bb, G, N, Lp); A: (G, dpg, N);
     D/bias: (G, dpg). Returns y (fp32), chunk states, last state.
 
@@ -528,7 +650,8 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
                                        1024 * 1024)))
         kernel = functools.partial(_fwd_kernel_ssd, l_valid=l_valid,
                                    chunk=chunk, tau=min(_tau(), chunk),
-                                   reverse=reverse, pitch=pitch)
+                                   reverse=reverse, pitch=pitch,
+                                   elem_len=elem_len)
     else:
         assert not reverse and pitch is None, \
             "reverse/packed scans require the ssd kernel"
@@ -598,7 +721,8 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     du_ref, ddt_ref, dB_ref, dC_ref, dA_ref, dbias_ref,
                     dD_ref, dh_scr, dA_scr, dbias_scr, dD_scr,
                     *, l_valid: int, chunk: int, tau: int,
-                    reverse: bool = False, pitch: Optional[int] = None):
+                    reverse: bool = False, pitch: Optional[int] = None,
+                    elem_len: Optional[int] = None):
     # grid = (group, batch_block, L_chunk, d_block) -- d_block INNERMOST so
     # the j-independent B/C input blocks stay VMEM-resident across the
     # d-block sweep and dB/dC accumulate in VMEM instead of materializing
@@ -643,46 +767,84 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
         valid = pos < l_valid
         dt = jnp.where(valid, dt, 0.0)
         gy = jnp.where(valid, gy, 0.0)
+    if pitch is not None and elem_len is not None and elem_len < pitch:
+        # packed tails: must match the forward's dt masking exactly
+        inelem = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, chunk), 2) % pitch
+        dt = jnp.where(inelem < elem_len, dt, 0.0)
 
-    E, F, ehalf, _G, _hb, h_all, _h_last, dub = _ssd_forward_core(
-        dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
-
-    # adjoint scan: dh_t = F_t * (revcumsum_t(E q) + E_end_j * V_j) with the
-    # cross-segment carries V solved by a tau-stride doubling scan running
-    # opposite to the forward direction (everything below is the exact lane
-    # mirror when reverse=True)
+    cdt = _compute_dtype()
     m_cum, m_rev, m_seg = _seg_matrices(chunk, tau)
     m_adj = m_cum if reverse else m_rev
-    cdt = _compute_dtype()
-    q = Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :]
-    eq = E * q                                         # (Bb, Db, N, T) cdt
-    rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1))
-    rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]     # adj cumsum | seg totals
-    carry = dh_scr[j]
-    carry_b = jnp.broadcast_to(carry[..., None], carry.shape + (chunk,))
-    p = ehalf * ehalf
-    bprime = ehalf * rcsum                             # b'_j = E_end_j sum(Eq)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
-    # the adjoint scan runs opposite to the primal direction; for packed
-    # chunks, decouple elements with the matching reset mask
-    reset = (None if pitch is None else
-             _pack_reset_mask(reverse, pitch, tau, chunk))
-    if reset is not None:
-        p = jnp.where(reset, 0.0, p)
-    if reverse:
-        bprime = jnp.where(lane < tau, bprime + p * carry_b, bprime)
-        rv = _seg_scan_fwd(p, bprime, tau, chunk)
-        v = jnp.concatenate([carry_b[..., :tau], rv[..., :-tau]], axis=-1)
-        dh_scr[j] = _col(rv, -1)
+    if _use_compact(chunk, tau):
+        # recompute (compact boundary) + compact adjoint scan:
+        # dh_t = F_t * (adjcumsum_t(E q) + E_end_j * V_j), with the
+        # cross-segment carries V on (Bb, Db, N*nseg) lanes
+        nseg = chunk // tau
+        m_pick = _pick_matrix(chunk, tau)
+        E, F, ehs, ps, GvT, _hl = _ssd_core_compact(
+            dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
+        h_all = E * GvT
+        dub = (dt * u).astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
+        eq = E * (Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :])
+        rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_pick], axis=1))
+        rc = rcg[..., :chunk]
+        # adjoint boundary recurrence V_prev = p_j V + E_end_j * sum_j(Eq),
+        # processed opposite to the primal direction, as a static loop on
+        # per-segment (Bb, Db, N) tensors (mirror of the forward's)
+        spe = None if pitch is None else pitch // tau
+        order = range(nseg) if reverse else range(nseg - 1, -1, -1)
+        vs = [None] * nseg
+        V = dh_scr[j]
+        for idx, k in enumerate(order):
+            if spe is not None and idx % spe == 0 and idx > 0:
+                V = jnp.zeros_like(V)   # packed element boundary
+            vs[k] = V
+            V = ps[k] * V + ehs[k] * _col(rcg, chunk + k)
+        dh_scr[j] = V                   # carry into the next-processed chunk
+        if nseg == 1:
+            vaT = (ehs[0] * vs[0])[..., None]
+        else:
+            va8 = jnp.stack([ehs[k] * vs[k] for k in range(nseg)], axis=-1)
+            vaT = _matmul_t(va8, m_pick.T)
+        dh = F * (rc + vaT)
     else:
-        bprime = jnp.where(lane >= chunk - tau,        # fold carry: V_{R-1}
-                           bprime + p * carry_b, bprime)
-        rv = _seg_scan_rev(p, bprime, tau, chunk)      # rv_j = V_{j-1}
-        v = jnp.concatenate([rv[..., tau:], carry_b[..., :tau]], axis=-1)
-        dh_scr[j] = _col(rv, 0)                        # = a_0 dh_0 carry
-    if reset is not None:
-        v = jnp.where(reset, 0.0, v)
-    dh = F * (rc + ehalf * v)
+        E, F, ehalf, _G, _hb, h_all, _h_last, dub = _ssd_forward_core(
+            dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
+
+        # adjoint scan: dh_t = F_t * (revcumsum_t(E q) + E_end_j * V_j) with
+        # the cross-segment carries V solved by a tau-stride doubling scan
+        # running opposite to the forward direction (everything below is the
+        # exact lane mirror when reverse=True)
+        q = Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :]
+        eq = E * q                                     # (Bb, Db, N, T) cdt
+        rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1))
+        rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]  # adj cumsum|seg totals
+        carry = dh_scr[j]
+        carry_b = jnp.broadcast_to(carry[..., None], carry.shape + (chunk,))
+        p = ehalf * ehalf
+        bprime = ehalf * rcsum                         # b'_j = E_end_j sum(Eq)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
+        # the adjoint scan runs opposite to the primal direction; for packed
+        # chunks, decouple elements with the matching reset mask
+        reset = (None if pitch is None else
+                 _pack_reset_mask(reverse, pitch, tau, chunk))
+        if reset is not None:
+            p = jnp.where(reset, 0.0, p)
+        if reverse:
+            bprime = jnp.where(lane < tau, bprime + p * carry_b, bprime)
+            rv = _seg_scan_fwd(p, bprime, tau, chunk)
+            v = jnp.concatenate([carry_b[..., :tau], rv[..., :-tau]], axis=-1)
+            dh_scr[j] = _col(rv, -1)
+        else:
+            bprime = jnp.where(lane >= chunk - tau,    # fold carry: V_{R-1}
+                               bprime + p * carry_b, bprime)
+            rv = _seg_scan_rev(p, bprime, tau, chunk)  # rv_j = V_{j-1}
+            v = jnp.concatenate([rv[..., tau:], carry_b[..., :tau]], axis=-1)
+            dh_scr[j] = _col(rv, 0)                    # = a_0 dh_0 carry
+        if reset is not None:
+            v = jnp.where(reset, 0.0, v)
+        dh = F * (rc + ehalf * v)
 
     # parameter/input gradients (a_t h_{t-1} = h_t - dub_t)
     dhB = jnp.sum(dh * Bc[:, None], axis=2)            # (Bb, Db, T)
@@ -800,7 +962,8 @@ def _bwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
 
 def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
                 l_valid: int, reverse: bool = False,
-                pitch: Optional[int] = None):
+                pitch: Optional[int] = None,
+                elem_len: Optional[int] = None):
     bb, g, dpg, lp = u.shape
     n = A.shape[-1]
     nc = lp // chunk
@@ -822,7 +985,8 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
                                        512 * 1024)))
         kernel = functools.partial(_bwd_kernel_ssd, l_valid=l_valid,
                                    chunk=chunk, tau=min(_tau(), chunk),
-                                   reverse=reverse, pitch=pitch)
+                                   reverse=reverse, pitch=pitch,
+                                   elem_len=elem_len)
         nd = dpg // dblk
         # d-block innermost: B/C blocks and the dB/dC accumulators are
         # j-independent and stay VMEM-resident across the d-block sweep
@@ -992,34 +1156,35 @@ def _layout(u, delta, A, B, C, D, bias, chunk):
     return u4, dt4, A3, B4, C4, D2, bias2, l, lp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _scan_core(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False,
-               pitch=None):
+               pitch=None, elem_len=None):
     (y, _last), _res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
-                                      reverse, pitch)
+                                      reverse, pitch, elem_len)
     return y
 
 
 def _scan_core_fwd(u, delta, A, B, C, D, bias, chunk, reverse=False,
-                   pitch=None):
+                   pitch=None, elem_len=None):
     bb, d, l = u.shape
     u4, dt4, A3, B4, C4, D2, bias2, l, lp = _layout(
         u, delta, A, B, C, D, bias, chunk)
     y4, states, last = _fwd_pallas(u4, dt4, A3, B4, C4, D2, bias2, chunk, l,
-                                   reverse=reverse, pitch=pitch)
+                                   reverse=reverse, pitch=pitch,
+                                   elem_len=elem_len)
     y = y4.reshape(bb, d, lp)[:, :, :l]
     res = (u4, dt4, A3, B4, C4, D2, bias2, states)
     return (y, last.reshape(bb, d, -1)), res
 
 
 def _vjp_fwd(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False,
-             pitch=None):
+             pitch=None, elem_len=None):
     (y, _last), res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
-                                     reverse, pitch)
+                                     reverse, pitch, elem_len)
     return y, res
 
 
-def _vjp_bwd(chunk, in_dtypes, reverse, pitch, res, gy):
+def _vjp_bwd(chunk, in_dtypes, reverse, pitch, elem_len, res, gy):
     u4, dt4, A3, B4, C4, D2, bias2, states = res
     bb, g, dpg, lp = u4.shape
     d = g * dpg
@@ -1030,7 +1195,7 @@ def _vjp_bwd(chunk, in_dtypes, reverse, pitch, res, gy):
     gy4 = gy.reshape(bb, g, dpg, lp).astype(jnp.float32)
     du, ddt, dB, dC, dA, dbias, dD = _bwd_pallas(
         u4, dt4, A3, B4, C4, D2, bias2, states, gy4, chunk, l,
-        reverse=reverse, pitch=pitch)
+        reverse=reverse, pitch=pitch, elem_len=elem_len)
     du = du.reshape(bb, d, lp)[:, :, :l]
     ddt = ddt.reshape(bb, d, lp)[:, :, :l]
     dB = dB[..., :l]
@@ -1173,7 +1338,7 @@ def selective_scan_pallas(
 
             y = _scan_core(pack(u), pack(delta),
                            jnp.asarray(A, jnp.float32), pack(B), pack(C),
-                           D, delta_bias, c, in_dtypes, reverse, pitch)
+                           D, delta_bias, c, in_dtypes, reverse, pitch, l)
             y = y.reshape(y.shape[:-1] + (npack, pitch))
             y = jnp.moveaxis(y, -2, 1)
             return y.reshape((bb,) + y.shape[2:])[..., :l]

@@ -48,6 +48,8 @@ _SLOW = {
     "test_swin_shifted_window_runs", "test_vit_tiny_forward",
     "test_pallas_batch_packing_matches_unpacked",
     "test_pallas_interpret_mode_on_cpu",
+    "test_pallas_compact_boundary_matches_assoc",
+    "test_pallas_tau_chunk_fast_path_exact_in_range",
     "test_grad_cam_tiny_model",
     "test_mobilenet_v2_logits_match_reference",
 }

@@ -199,6 +199,78 @@ def test_pallas_bf16_cube_mode_tolerance():
     assert np.abs(y - y_ref).max() / scale < 2e-2
 
 
+@pytest.mark.parametrize("l,b,rev", [(256, 2, False), (256, 2, True),
+                                     (49, 4, False), (49, 4, True)])
+def test_pallas_compact_boundary_matches_assoc(l, b, rev, monkeypatch):
+    """Round-3 compact segment-boundary machinery (static nseg-step loop on
+    per-segment (Bb, Db, N) tensors instead of tau-replicated doubling scans
+    over cubes) forced on at nseg>1: fwd + all grads, both directions,
+    unpacked (L=256) and packed short-L (L=49)."""
+    from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+    monkeypatch.setenv("MEDMAMBA_SCAN_BOUNDARY", "compact")
+
+    rng = np.random.default_rng(17)
+    u, delta, A, B, C, D, bias = _make_inputs(rng, b=b, d=8, n=4, l=l, g=2)
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    gyw = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32))
+
+    def loss(fn):
+        def f(a):
+            y = fn(a[0], a[1], a[2], a[3], a[4], a[5], delta_bias=a[6],
+                   delta_softplus=True, reverse_dirs=(rev, rev))
+            return jnp.sum(y * gyw)
+        return f
+
+    g_p = jax.grad(loss(selective_scan_pallas))(args)
+    monkeypatch.delenv("MEDMAMBA_SCAN_BOUNDARY")
+    g_a = jax.grad(loss(
+        lambda *a, **k: selective_scan(*a, impl="assoc", **k)))(args)
+    for name, gp, ga in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_p, g_a):
+        gp, ga = np.asarray(gp), np.asarray(ga)
+        scale = np.abs(ga).max() + 1e-6
+        assert np.abs(gp - ga).max() / scale < 1e-3, name
+
+
+def test_pallas_tau_chunk_fast_path_exact_in_range(monkeypatch):
+    """tau=128 (= chunk): one segment per chunk, so the boundary machinery
+    degenerates to a free lane-broadcast (the nseg==1 compact fast path).
+    Exact only while |A * seg_sum(dt)| <= 2*CLIP = 160 per 128-step segment
+    -- trained-magnitude dt; the host-side selector guards this. Here the
+    magnitudes are kept in range and fwd + grads must match assoc on a
+    multi-chunk L."""
+    from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+    monkeypatch.setenv("MEDMAMBA_SCAN_TAU", "128")
+
+    rng = np.random.default_rng(19)
+    b, d, n, g, l = 2, 8, 4, 2, 384
+    u = rng.standard_normal((b, d, l)).astype(np.float32)
+    delta = (0.01 * rng.standard_normal((b, d, l))).astype(np.float32)
+    A = -np.exp(rng.standard_normal((d, n))).astype(np.float32)
+    B = rng.standard_normal((b, g, n, l)).astype(np.float32)
+    C = rng.standard_normal((b, g, n, l)).astype(np.float32)
+    D = rng.standard_normal((d,)).astype(np.float32)
+    bias = np.full((d,), -4.0, np.float32)  # dt ~ softplus(-4) ~ 0.018/step
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    gyw = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32))
+
+    def loss(fn):
+        def f(a):
+            y = fn(a[0], a[1], a[2], a[3], a[4], a[5], delta_bias=a[6],
+                   delta_softplus=True)
+            return jnp.sum(y * gyw)
+        return f
+
+    g_p = jax.grad(loss(selective_scan_pallas))(args)
+    monkeypatch.delenv("MEDMAMBA_SCAN_TAU")
+    g_a = jax.grad(loss(selective_scan_assoc))(args)
+    for name, gp, ga in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_p, g_a):
+        gp, ga = np.asarray(gp), np.asarray(ga)
+        scale = np.abs(ga).max() + 1e-6
+        assert np.abs(gp - ga).max() / scale < 1e-4, name
+
+
 def test_cross_scan_noflip_roundtrip():
     """flip=False cross_scan + a manual per-direction reversal reproduces the
     flipped cross_scan exactly; merge with flipped=False matches the default
