@@ -4,11 +4,16 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md). We use an
 estimated A100 CUDA baseline for the reference implementation of 700 img/s
-(train, batch 64, fp32 selective-scan core + TF32 convs; derived from the
-reference's analytic scan FLOPs ~0.9 GFLOP/img + ~2.5 GFLOP/img conv/matmul,
-x3 for bwd, at ~35% A100 utilization with the memory-bound CUDA scan kernel --
-the 'A100 CUDA baseline' called for in BASELINE.json, stated explicitly since it
-must be estimated).
+(train, batch 64, fp32 selective-scan core + TF32 convs). The full derivation
+and its sensitivity band (400-1,500 img/s: framework-bound torch analogues vs
+partially-optimized torch; the kernel rooflines are far higher) is in
+BASELINE.md "A100 baseline: derivation and sensitivity range" -- vs_baseline
+inherits that ~2x uncertainty in both directions.
+
+The benched step mirrors the training CLI: scan tau is auto-selected per stage
+from measured |A|*seg_sum(dt) magnitudes on the bench batch (train/tau_select),
+exactly as `--scan_tau auto` does (BENCH_TAU=16|32|64|128 forces a value,
+BENCH_TAU=off disables selection).
 """
 from __future__ import annotations
 
@@ -46,6 +51,21 @@ def main():
     labels = rng.integers(0, 9, (batch,), dtype=np.int64)
     images, labels = shard_batch(mesh, images, labels)
     key = jax.random.key(1)
+
+    bench_tau = os.environ.get("BENCH_TAU", "auto")
+    taus = None
+    if bench_tau == "auto" and jax.default_backend() == "tpu":
+        from medmamba_tpu.data.transforms import preprocess
+        from medmamba_tpu.train.tau_select import select_scan_tau
+
+        x_cal = jax.jit(lambda im: preprocess(
+            jax.random.key(0), im, size=224, augment=False))(images)
+        taus = select_scan_tau(model, state.params, state.batch_stats, x_cal)
+    elif bench_tau not in ("auto", "off"):
+        taus = int(bench_tau)
+    if taus is not None:
+        model = model.clone(scan_tau=taus)
+        state = state.replace(apply_fn=model.apply)
 
     import functools
 
@@ -131,6 +151,9 @@ def main():
             "scan_ms": round(step_ms - nonscan_ms, 2),
             "batch": batch,
             "scan_kernel": os.environ.get("MEDMAMBA_SCAN_KERNEL", "ssd"),
+            "scan_tau": (list(taus) if isinstance(taus, tuple)
+                         else taus or int(os.environ.get(
+                             "MEDMAMBA_SCAN_TAU", "16"))),
             "mfu_vs_bf16_peak": round(
                 ips_per_chip * train_flops_img / 197e12, 4),
         }

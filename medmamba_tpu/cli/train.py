@@ -53,11 +53,24 @@ def parse_args(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--scan_impl", type=str, default="auto",
                    choices=["auto", "pallas", "assoc", "seq"])
-    p.add_argument("--scan_tau", type=int, default=None, choices=[16, 32],
-                   help="Scan kernel sub-chunk length. 32 is ~15%% faster "
-                        "but exact only while |A*seg_sum(dt)| <= 160 per "
-                        "32-step segment (safe for trained-magnitude data; "
-                        "see docs/DESIGN.md). Default 16 (always exact).")
+    p.add_argument("--scan_tau", type=str, default="auto",
+                   choices=["auto", "16", "32", "64", "128"],
+                   help="Scan kernel segment length. Larger is faster "
+                        "(tau=chunk removes the segment-boundary machinery "
+                        "entirely) but exact only while |A*seg_sum(dt)| <= "
+                        "160 per segment. 'auto' (default) measures the "
+                        "trained magnitudes on a calibration batch every "
+                        "epoch and picks the largest safe tau per stage, "
+                        "falling back to 16 (always exact) when the budget "
+                        "is exceeded. A number forces that tau everywhere "
+                        "(no safety check; see docs/DESIGN.md).")
+    p.add_argument("--exact_rotate", action="store_true", default=False,
+                   help="Rotation augmentation via the exact per-pixel gather "
+                        "instead of the fast Pallas kernel. The kernel lets "
+                        "<=~4%% of pixels pick a horizontally adjacent source "
+                        "pixel (accuracy impact unmeasured; eval is never "
+                        "affected) but is ~10x faster and compiles in seconds "
+                        "(ops/rotate_pallas.py).")
     p.add_argument("--use_checkpoint", action="store_true", default=False,
                    help="Activation rematerialization per block (jax.checkpoint).")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -120,13 +133,24 @@ def main(argv=None):
     log.info("Using %d train / %d val images, %d classes. Epochs %d, batch %d, lr %g",
              len(train_ds), len(val_ds), num_classes, epochs, batch_size, lr)
 
-    if args.scan_tau is not None:
-        os.environ["MEDMAMBA_SCAN_TAU"] = str(args.scan_tau)
+    if args.exact_rotate:
+        os.environ["MEDMAMBA_EXACT_ROTATE"] = "1"
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    # tau policy: 'auto' calibrates per stage against measured magnitudes
+    # (below, and again every epoch); an explicit number forces it everywhere.
+    tau_auto = False
+    scan_tau = None
+    if args.scan_tau == "auto":
+        tau_auto = (jax.default_backend() == "tpu"
+                    and args.scan_impl in ("auto", "pallas"))
+    else:
+        scan_tau = int(args.scan_tau)
+        os.environ["MEDMAMBA_SCAN_TAU"] = args.scan_tau  # kernel-level paths
     model = create_model(args.medmb_size, num_classes,
                          attn_drop_rate=args.attn_drop_rate, dtype=dtype,
                          scan_impl=args.scan_impl,
-                         use_checkpoint=args.use_checkpoint)
+                         use_checkpoint=args.use_checkpoint,
+                         scan_tau=scan_tau)
     log.info('Model size: "%s"', args.medmb_size)
 
     tx = make_optimizer(lr, npz_mode, lr_decay_epochs, steps_per_epoch)
@@ -155,6 +179,32 @@ def main(argv=None):
         print(f"Finished Training (Target Epoch <= Start Epoch). "
               f"Best validation accuracy recorded: {best_acc:.3f}")
         return
+
+    cur_taus = None
+    if tau_auto:
+        from medmamba_tpu.data.transforms import preprocess
+        from medmamba_tpu.train.tau_select import select_scan_tau
+
+        calib_pre = jax.jit(lambda im: preprocess(
+            jax.random.key(0), im, size=args.image_size, augment=False))
+
+        def recalibrate(state, model, images_dev, cur):
+            """Measure |A|*seg_sum(dt) on a batch; swap the per-stage taus in
+            via a model clone when the selection changes (apply_fn is a
+            static jit field, so the train/eval steps retrace -- cached
+            compiles make revisiting a previous selection cheap)."""
+            taus = select_scan_tau(model, state.params, state.batch_stats,
+                                   calib_pre(images_dev),
+                                   image_size=args.image_size)
+            if taus == cur:
+                return state, model, cur
+            log.info("scan tau selection: %s -> %s", cur, taus)
+            model = model.clone(scan_tau=taus)
+            return state.replace(apply_fn=model.apply), model, taus
+
+        images0, labels0 = next(iter(train_loader.epoch(0)))
+        images0, _ = shard_batch(mesh, images0, labels0)
+        state, model, cur_taus = recalibrate(state, model, images0, cur_taus)
 
     data_rng = jax.random.key(args.seed + 1)
     epochs_without_improvement = 0
@@ -196,6 +246,13 @@ def main(argv=None):
         if args.log_every:
             print()
         train_time = time.time() - t0
+
+        if tau_auto and nsteps:
+            # re-check the clip budgets against the *trained* magnitudes on
+            # the epoch's last batch; drops tau the moment a margin is
+            # exceeded, raises it when training has settled into range
+            state, model, cur_taus = recalibrate(state, model, images,
+                                                 cur_taus)
 
         correct_dev = None  # accumulate on device; one host sync per epoch
         for images, labels in device_prefetch(

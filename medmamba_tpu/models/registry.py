@@ -28,7 +28,7 @@ MODEL_CONFIGS = {
 def create_model(size: str = "T", num_classes: int = 1000, *,
                  attn_drop_rate: float = 0.0, drop_rate: float = 0.0,
                  dtype=jnp.float32, scan_impl: str = "auto",
-                 use_checkpoint: bool = False) -> VSSM:
+                 use_checkpoint: bool = False, scan_tau=None) -> VSSM:
     """Build a VSSM of the given size (T/S/B/Te), mirroring train.py:179-182."""
     cfg = MODEL_CONFIGS[size]
     return VSSM(
@@ -36,6 +36,7 @@ def create_model(size: str = "T", num_classes: int = 1000, *,
         d_state=cfg.d_state, drop_path_rate=cfg.drop_path_rate,
         attn_drop_rate=attn_drop_rate, drop_rate=drop_rate,
         dtype=dtype, scan_impl=scan_impl, use_checkpoint=use_checkpoint,
+        scan_tau=scan_tau,
     )
 
 

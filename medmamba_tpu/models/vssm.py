@@ -33,6 +33,11 @@ from medmamba_tpu.ops.selective_scan import selective_scan
 
 Dtype = Any
 
+# Candidate Pallas-kernel segment lengths for host-side selection (largest
+# safe one wins; 16 is the always-safe floor). Kept here so the sow in SS2D
+# and the selector in train/tau_select.py agree on the order.
+SCAN_TAU_CANDIDATES = (32, 64, 128)
+
 # ---------------------------------------------------------------------------
 # Initializers (parity with MedMamba.py:193-247 and :470-489)
 # ---------------------------------------------------------------------------
@@ -227,6 +232,35 @@ class SS2D(nn.Module):
     bias: bool = False
     dtype: Dtype = jnp.float32
     scan_impl: str = "auto"
+    # Pallas-kernel segment length (static; changing it retraces). None = the
+    # MEDMAMBA_SCAN_TAU env default (16). Larger tau is faster but exact only
+    # while |A * seg_sum(dt)| <= 2*CLIP per segment; the training CLI picks it
+    # per stage from measured magnitudes (train/tau_select.py).
+    scan_tau: Optional[int] = None
+
+    def _sow_seg_budgets(self, dts, bias2, A2):
+        """Sow max |A| * seg_sum(dt) per candidate tau into ``scan_stats``.
+
+        The Pallas kernel's clipped-exponent factorization is exact while
+        |A[d,n] * seg_sum(dt[d])| <= 2*CLIP for every tau-aligned segment
+        (pallas_scan.py ``_tau`` docstring); this is the measurement the
+        host-side selector gates on. Segments are tau-aligned windows from
+        position 0 -- exactly the kernel's layout for both the padded and the
+        short-L packed path (padding contributes dt = 0). Costs a few cheap
+        reductions and only runs when the ``scan_stats`` collection is
+        mutable (calibration passes), never in the training step.
+        """
+        dt = jax.nn.softplus(dts.astype(jnp.float32)
+                             + bias2.astype(jnp.float32)[None, :, :, None])
+        abs_a = jnp.max(jnp.abs(A2), axis=-1)            # (2, d_inner)
+        b, k2, dd, l = dt.shape
+        budgets = []
+        for tau_c in SCAN_TAU_CANDIDATES:
+            lp = -(-l // tau_c) * tau_c
+            seg = jnp.pad(dt, ((0, 0),) * 3 + ((0, lp - l),))
+            seg = seg.reshape(b, k2, dd, lp // tau_c, tau_c).sum(-1)
+            budgets.append(jnp.max(jnp.max(seg, axis=(0, 3)) * abs_a))
+        self.sow("scan_stats", "seg_budget", jnp.stack(budgets))
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):  # (B, H, W, d_model)
@@ -278,13 +312,16 @@ class SS2D(nn.Module):
             x_dbl = jnp.einsum("bkdl,kcd->bkcl", xs, wp.astype(xs.dtype))
             dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=2)
             dts = jnp.einsum("bkrl,kdr->bkdl", dts, wdt.astype(dts.dtype))
+            if self.is_mutable_collection("scan_stats"):
+                self._sow_seg_budgets(dts, bias_f[ks[0]:ks[1] + 1],
+                                      As[ks[0]:ks[1] + 1])
             y = selective_scan(
                 u, dts.reshape(b, 2 * d_inner, l),
                 As[ks[0]:ks[1] + 1].reshape(2 * d_inner, n), Bs, Cs,
                 Ds_f[ks[0]:ks[1] + 1].reshape(-1),
                 delta_bias=bias_f[ks[0]:ks[1] + 1].reshape(-1),
                 delta_softplus=True, impl=self.scan_impl,
-                reverse_dirs=(rev, rev),
+                reverse_dirs=(rev, rev), tau=self.scan_tau,
             )  # (B, 2*D, L) float32, buffer order
             # the scan core itself stays fp32 (reference contract); in bf16
             # block mode the merge/transpose/out_norm chain that follows runs
@@ -331,6 +368,7 @@ class SSConvSSM(nn.Module):
     d_state: int = 16
     dtype: Dtype = jnp.float32
     scan_impl: str = "auto"
+    scan_tau: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -341,6 +379,7 @@ class SSConvSSM(nn.Module):
         r = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(right)
         r = SS2D(d_model=half, d_state=self.d_state, dropout=self.attn_drop_rate,
                  dtype=self.dtype, scan_impl=self.scan_impl,
+                 scan_tau=self.scan_tau,
                  name="self_attention")(r, deterministic=deterministic)
         r = DropPath(self.drop_path, name="drop_path")(r, deterministic=deterministic)
 
@@ -378,6 +417,7 @@ class VSSLayer(nn.Module):
     use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
     scan_impl: str = "auto"
+    scan_tau: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -390,6 +430,7 @@ class VSSLayer(nn.Module):
             x = block_cls(
                 hidden_dim=self.dim, drop_path=dp, attn_drop_rate=self.attn_drop,
                 d_state=self.d_state, dtype=self.dtype, scan_impl=self.scan_impl,
+                scan_tau=self.scan_tau,
                 name=f"blocks_{i}",
             )(x, deterministic, mask)
         if self.downsample:
@@ -415,6 +456,8 @@ class VSSM(nn.Module):
     use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
     scan_impl: str = "auto"
+    # int (all stages) or a per-stage sequence; None = env default (tau=16).
+    scan_tau: Any = None
 
     def setup(self):
         num_layers = len(self.depths)
@@ -426,6 +469,9 @@ class VSSM(nn.Module):
         if self.drop_rate > 0.0:
             self.pos_drop = nn.Dropout(self.drop_rate)
         dpr = self._stage_dpr()
+        taus = self.scan_tau
+        if taus is None or isinstance(taus, int):
+            taus = (taus,) * num_layers
         self.layers = [
             VSSLayer(
                 dim=self.dims[i], depth=self.depths[i], d_state=d_state,
@@ -433,7 +479,7 @@ class VSSM(nn.Module):
                 drop_path=dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])],
                 downsample=i < num_layers - 1,
                 use_checkpoint=self.use_checkpoint, dtype=self.dtype,
-                scan_impl=self.scan_impl)
+                scan_impl=self.scan_impl, scan_tau=taus[i])
             for i in range(num_layers)]
         self.head = nn.Dense(self.num_classes, kernel_init=trunc_normal_02,
                              bias_init=nn.initializers.zeros, dtype=self.dtype)

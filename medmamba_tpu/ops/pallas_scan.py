@@ -629,7 +629,8 @@ def _kernel_impl() -> str:
 
 def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
                 reverse: bool = False, pitch: Optional[int] = None,
-                elem_len: Optional[int] = None):
+                elem_len: Optional[int] = None,
+                tau: Optional[int] = None):
     """u/delta: (Bb, G, dpg, Lp); B/C: (Bb, G, N, Lp); A: (G, dpg, N);
     D/bias: (G, dpg). Returns y (fp32), chunk states, last state.
 
@@ -649,7 +650,8 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
                                        "MEDMAMBA_SCAN_CUBE_BUDGET",
                                        1024 * 1024)))
         kernel = functools.partial(_fwd_kernel_ssd, l_valid=l_valid,
-                                   chunk=chunk, tau=min(_tau(), chunk),
+                                   chunk=chunk,
+                                   tau=min(tau or _tau(), chunk),
                                    reverse=reverse, pitch=pitch,
                                    elem_len=elem_len)
     else:
@@ -963,7 +965,8 @@ def _bwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
 def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
                 l_valid: int, reverse: bool = False,
                 pitch: Optional[int] = None,
-                elem_len: Optional[int] = None):
+                elem_len: Optional[int] = None,
+                tau: Optional[int] = None):
     bb, g, dpg, lp = u.shape
     n = A.shape[-1]
     nc = lp // chunk
@@ -984,7 +987,8 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
                                        "MEDMAMBA_SCAN_CUBE_BUDGET_BWD",
                                        512 * 1024)))
         kernel = functools.partial(_bwd_kernel_ssd, l_valid=l_valid,
-                                   chunk=chunk, tau=min(_tau(), chunk),
+                                   chunk=chunk,
+                                   tau=min(tau or _tau(), chunk),
                                    reverse=reverse, pitch=pitch,
                                    elem_len=elem_len)
         nd = dpg // dblk
@@ -1156,35 +1160,35 @@ def _layout(u, delta, A, B, C, D, bias, chunk):
     return u4, dt4, A3, B4, C4, D2, bias2, l, lp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _scan_core(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False,
-               pitch=None, elem_len=None):
+               pitch=None, elem_len=None, tau=None):
     (y, _last), _res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
-                                      reverse, pitch, elem_len)
+                                      reverse, pitch, elem_len, tau)
     return y
 
 
 def _scan_core_fwd(u, delta, A, B, C, D, bias, chunk, reverse=False,
-                   pitch=None, elem_len=None):
+                   pitch=None, elem_len=None, tau=None):
     bb, d, l = u.shape
     u4, dt4, A3, B4, C4, D2, bias2, l, lp = _layout(
         u, delta, A, B, C, D, bias, chunk)
     y4, states, last = _fwd_pallas(u4, dt4, A3, B4, C4, D2, bias2, chunk, l,
                                    reverse=reverse, pitch=pitch,
-                                   elem_len=elem_len)
+                                   elem_len=elem_len, tau=tau)
     y = y4.reshape(bb, d, lp)[:, :, :l]
     res = (u4, dt4, A3, B4, C4, D2, bias2, states)
     return (y, last.reshape(bb, d, -1)), res
 
 
 def _vjp_fwd(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False,
-             pitch=None, elem_len=None):
+             pitch=None, elem_len=None, tau=None):
     (y, _last), res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
-                                     reverse, pitch, elem_len)
+                                     reverse, pitch, elem_len, tau)
     return y, res
 
 
-def _vjp_bwd(chunk, in_dtypes, reverse, pitch, elem_len, res, gy):
+def _vjp_bwd(chunk, in_dtypes, reverse, pitch, elem_len, tau, res, gy):
     u4, dt4, A3, B4, C4, D2, bias2, states = res
     bb, g, dpg, lp = u4.shape
     d = g * dpg
@@ -1195,7 +1199,7 @@ def _vjp_bwd(chunk, in_dtypes, reverse, pitch, elem_len, res, gy):
     gy4 = gy.reshape(bb, g, dpg, lp).astype(jnp.float32)
     du, ddt, dB, dC, dA, dbias, dD = _bwd_pallas(
         u4, dt4, A3, B4, C4, D2, bias2, states, gy4, chunk, l,
-        reverse=reverse, pitch=pitch, elem_len=elem_len)
+        reverse=reverse, pitch=pitch, elem_len=elem_len, tau=tau)
     du = du.reshape(bb, d, lp)[:, :, :l]
     ddt = ddt.reshape(bb, d, lp)[:, :, :l]
     dB = dB[..., :l]
@@ -1221,6 +1225,7 @@ def selective_scan_pallas(
     return_last_state: bool = False,
     chunk: int = DEFAULT_CHUNK,
     reverse_dirs: Optional[Tuple[bool, ...]] = None,
+    tau: Optional[int] = None,
 ):
     """Fused selective scan with the MedMamba.py:273-279 call-site contract.
 
@@ -1289,7 +1294,7 @@ def selective_scan_pallas(
             return selective_scan_pallas(
                 *args, delta_softplus=True,
                 return_last_state=return_last_state, chunk=chunk,
-                reverse_dirs=(rev_flag,) * len(sel))
+                reverse_dirs=(rev_flag,) * len(sel), tau=tau)
 
         out_f = pick(fw, False)
         out_r = pick(rv, True)
@@ -1321,7 +1326,8 @@ def selective_scan_pallas(
     # reset masks (see _pack_reset_mask) decouple them. Zero-padded inputs
     # need no extra validity masking: pad decay factors cancel in all E*F
     # pairwise differences and only feed reset-blocked segment boundaries.
-    tau = min(_tau(), c)
+    tau = min(tau or _tau(), c)
+    assert c % tau == 0, f"tau={tau} must divide chunk={c}"
     if (not return_last_state and _kernel_impl() == "ssd"
             and os.environ.get("MEDMAMBA_SCAN_PACK", "1") != "0"):
         p_cand = _cdiv(l, tau) * tau
@@ -1338,14 +1344,16 @@ def selective_scan_pallas(
 
             y = _scan_core(pack(u), pack(delta),
                            jnp.asarray(A, jnp.float32), pack(B), pack(C),
-                           D, delta_bias, c, in_dtypes, reverse, pitch, l)
+                           D, delta_bias, c, in_dtypes, reverse, pitch, l,
+                           tau)
             y = y.reshape(y.shape[:-1] + (npack, pitch))
             y = jnp.moveaxis(y, -2, 1)
             return y.reshape((bb,) + y.shape[2:])[..., :l]
 
     if return_last_state:
         (y, last), _ = _scan_core_fwd(u, delta, jnp.asarray(A, jnp.float32),
-                                      B, C, D, delta_bias, c, reverse)
+                                      B, C, D, delta_bias, c, reverse,
+                                      tau=tau)
         return y, last
     return _scan_core(u, delta, jnp.asarray(A, jnp.float32), B, C, D,
-                      delta_bias, c, in_dtypes, reverse)
+                      delta_bias, c, in_dtypes, reverse, None, None, tau)

@@ -232,11 +232,18 @@ def selective_scan(
     return_last_state: bool = False,
     impl: str = "auto",
     reverse_dirs=None,
+    tau: Optional[int] = None,
 ):
     """Public selective scan with the reference call-site contract (MedMamba.py:273-279).
 
     impl: "auto" | "pallas" | "assoc" | "seq".
     "auto" picks the fused Pallas kernel on TPU backends, "assoc" otherwise.
+
+    tau: optional segment length for the Pallas kernel (16/32/64/128; None =
+    the MEDMAMBA_SCAN_TAU env default). Larger is faster but exact only while
+    |A * seg_sum(dt)| <= 2*CLIP per segment -- use
+    ``medmamba_tpu.train.tau_select`` to pick it safely from data. Ignored by
+    the non-Pallas impls (they are exact at any magnitude).
 
     reverse_dirs: optional per-group bools; flagged groups scan right-to-left
     with buffer-order outputs (the Pallas kernel handles this natively via
@@ -271,7 +278,7 @@ def selective_scan(
                 partial(selective_scan_pallas,
                         delta_softplus=delta_softplus,
                         return_last_state=return_last_state,
-                        reverse_dirs=rflags),
+                        reverse_dirs=rflags, tau=tau),
                 mesh=mesh,
                 in_specs=(dp, dp, rep, dp, dp, rep, rep),
                 out_specs=(dp, dp) if return_last_state else dp,
@@ -286,6 +293,7 @@ def selective_scan(
             delta_softplus=delta_softplus,
             return_last_state=return_last_state,
             reverse_dirs=rflags,
+            tau=tau,
         )
     fn = IMPLS[impl]
     if impl == "stub":

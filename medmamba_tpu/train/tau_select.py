@@ -1,0 +1,135 @@
+"""Host-side scan-tau selection (safe-by-measurement kernel fast path).
+
+The Pallas selective-scan kernel factors each tau-segment's decay products as
+clipped exponentials; the factorization is exact while
+
+    |A[d, n] * seg_sum(dt[d])| <= 2 * CLIP        (per tau-aligned segment)
+
+and silently distorts near-diagonal decay ratios beyond it (see the ``_tau``
+docstring in ``ops/pallas_scan.py``). Larger tau is measurably faster
+(tau=32: ~-15%/step, round 2; tau=chunk eliminates the segment-boundary
+machinery entirely via the compact nseg==1 fast path, round 3) but the safe
+range shrinks linearly with tau. This module implements the selection the
+round-2 verdict asked for: measure the actual |A| * seg_sum(dt) magnitudes of
+the trained model on real data (a few device reductions, sown by SS2D into
+the ``scan_stats`` collection), then pick the largest candidate tau whose
+worst-case segment stays inside the clip budget with margin. tau=16 is the
+always-safe floor (the round-2 default).
+
+Reference context: the CUDA kernel the reference links
+(``/root/reference/MedMamba.py:273-279``) has no such range/speed dial; this
+is a TPU-specific optimization with a safety gate, not a parity surface.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from medmamba_tpu.models.vssm import SCAN_TAU_CANDIDATES
+from medmamba_tpu.ops.pallas_scan import _CLIP, DEFAULT_CHUNK
+
+log = logging.getLogger("medmamba_tpu.tau_select")
+
+SAFE_FLOOR = 16  # always-exact default segment length
+
+
+def measure_seg_budgets(model, params, batch_stats,
+                        images) -> Dict[int, np.ndarray]:
+    """One calibration forward; returns per-stage max |A|*seg_sum(dt).
+
+    ``images``: a preprocessed (B, H, W, 3) float batch. Returns
+    {stage_index: (len(SCAN_TAU_CANDIDATES),) array} -- the max over every
+    SS2D block, direction, channel and tau-aligned segment in that stage.
+    """
+    calib_model = model
+    if getattr(model, "use_checkpoint", False):
+        # sow-through-remat is not load-bearing anywhere else; calibrate on a
+        # plain clone (same params) to keep the variable plumbing simple
+        calib_model = model.clone(use_checkpoint=False)
+
+    @jax.jit
+    def calib(p, bs, x):
+        _, stats = calib_model.apply({"params": p, "batch_stats": bs}, x,
+                                     True, mutable=["scan_stats"])
+        return stats["scan_stats"]
+
+    stats = calib(params, batch_stats, images)
+    leaves = jax.tree_util.tree_flatten_with_path(jax.device_get(stats))[0]
+    out: Dict[int, np.ndarray] = {}
+    for path, leaf in leaves:
+        stage = None
+        for k in path:
+            name = getattr(k, "key", None)
+            if isinstance(name, str) and name.startswith("layers_"):
+                stage = int(name.split("_")[1])
+        if stage is None:
+            continue
+        arr = np.asarray(leaf, np.float32).reshape(-1)
+        if len(arr) != len(SCAN_TAU_CANDIDATES):  # pragma: no cover
+            continue
+        prev = out.get(stage)
+        out[stage] = arr if prev is None else np.maximum(prev, arr)
+    return out
+
+
+def _stage_seq_lens(image_size: int, patch_size: int = 4,
+                    num_stages: int = 4) -> Tuple[int, ...]:
+    side = image_size // patch_size
+    lens = []
+    for _ in range(num_stages):
+        lens.append(side * side)
+        side //= 2
+    return tuple(lens)
+
+
+def _packing_cap(seq_len: int, chunk: int = DEFAULT_CHUNK) -> int:
+    """Largest tau that keeps the short-L batch-packing density of tau=16.
+
+    Packed stages lay ceil(L/tau)*tau lanes per batch element; a tau that
+    inflates that pitch trades packing density for segment length (measured
+    net-negative at stage-4 scale). Allowed: taus whose pitch equals the
+    tau=16 pitch. For unpacked stages (pitch >= chunk) there is no cap.
+    """
+    pitch16 = -(-seq_len // 16) * 16
+    if pitch16 >= chunk:
+        return chunk
+    cap = SAFE_FLOOR
+    for cand in SCAN_TAU_CANDIDATES:
+        if cand <= pitch16 and -(-seq_len // cand) * cand == pitch16:
+            cap = max(cap, cand)
+    return cap
+
+
+def select_scan_tau(model, params, batch_stats, images, *,
+                    image_size: int = 224, margin: float = 0.9,
+                    num_stages: Optional[int] = None) -> Tuple[int, ...]:
+    """Pick the per-stage tau: largest candidate inside the clip budget.
+
+    margin: fraction of the exactness bound 2*CLIP a segment may use; the
+    headroom absorbs drift between recalibrations (the CLI recalibrates every
+    epoch and drops tau the moment a measurement exceeds the margin).
+    """
+    budgets = measure_seg_budgets(model, params, batch_stats, images)
+    if num_stages is None:
+        num_stages = (len(model.depths) if hasattr(model, "depths")
+                      else (max(budgets) + 1 if budgets else 0))
+    limit = margin * 2.0 * _CLIP
+    seq_lens = _stage_seq_lens(image_size, num_stages=num_stages)
+    taus = []
+    for s in range(num_stages):
+        b = budgets.get(s)
+        cap = _packing_cap(seq_lens[s])
+        tau = SAFE_FLOOR
+        if b is not None:
+            for i, cand in enumerate(SCAN_TAU_CANDIDATES):
+                if cand <= cap and b[i] <= limit:
+                    tau = max(tau, cand)
+        taus.append(tau)
+        if b is not None:
+            log.info("tau-select stage %d: budgets %s (limit %.0f, cap %d) "
+                     "-> tau=%d", s,
+                     np.array2string(b, precision=1), limit, cap, tau)
+    return tuple(taus)

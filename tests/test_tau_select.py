@@ -1,0 +1,101 @@
+"""Host-side scan-tau selection (round-3): budgets, caps, adversarial fallback.
+
+The selection gate is the kernel exactness bound |A * seg_sum(dt)| <= 2*CLIP
+per tau-aligned segment (ops/pallas_scan.py). These tests run the real
+calibration path (SS2D sows into ``scan_stats``) on CPU -- the sow is
+impl-independent, so no TPU needed.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from medmamba_tpu.models.vssm import VSSM, SCAN_TAU_CANDIDATES
+from medmamba_tpu.train.tau_select import (
+    SAFE_FLOOR, _packing_cap, measure_seg_budgets, select_scan_tau)
+from medmamba_tpu.ops.pallas_scan import _CLIP
+
+
+def _tiny_model(**kw):
+    return VSSM(num_classes=3, depths=(1, 1), dims=(16, 32), d_state=4,
+                drop_path_rate=0.0, scan_impl="assoc", **kw)
+
+
+def _init(model, img=32, seed=0):
+    rng = jax.random.key(seed)
+    x = jnp.zeros((2, img, img, 3), jnp.float32)
+    variables = model.init({"params": rng,
+                            "dropout": jax.random.fold_in(rng, 1)}, x, True)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def test_packing_cap():
+    # L=49 (stage 4 at 224): tau<=64 keeps the tau=16 packing pitch of 64
+    assert _packing_cap(49) == 64
+    # L=20: pitch 32 -> cap 32
+    assert _packing_cap(20) == 32
+    # unpacked stages (pitch >= chunk): no cap
+    assert _packing_cap(196) == 128
+    assert _packing_cap(3136) == 128
+
+
+def test_budgets_measured_per_stage_and_monotone():
+    model = _tiny_model()
+    params, bs = _init(model)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32))
+    budgets = measure_seg_budgets(model, params, bs, x)
+    assert set(budgets) == {0, 1}
+    for b in budgets.values():
+        assert b.shape == (len(SCAN_TAU_CANDIDATES),)
+        assert np.all(b > 0)
+        # seg sums grow with tau, so budgets are non-decreasing
+        assert np.all(np.diff(b) >= -1e-5)
+
+
+def test_select_falls_back_on_adversarial_magnitudes():
+    """Force dt >> safe: inflate every dt_projs_bias so softplus(bias) is
+    huge; the selector must refuse every larger tau and return the floor."""
+    model = _tiny_model()
+    params, bs = _init(model)
+    big = jax.tree_util.tree_map_with_path(
+        lambda p, v: (jnp.full_like(v, 50.0)
+                      if any(getattr(k, "key", None) == "dt_projs_bias"
+                             for k in p) else v), params)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32))
+    taus = select_scan_tau(model, big, bs, x, image_size=32)
+    assert taus == (SAFE_FLOOR,) * 2
+    # sanity: the measured budgets really do exceed the gate
+    budgets = measure_seg_budgets(model, big, bs, x)
+    assert all(b[0] > 2 * _CLIP for b in budgets.values())
+
+
+def test_select_picks_larger_tau_when_safe():
+    """Shrink dt (very negative bias -> softplus ~ 0): every candidate fits
+    the clip budget, so each stage gets its packing-capped maximum."""
+    model = _tiny_model()
+    params, bs = _init(model)
+    tiny = jax.tree_util.tree_map_with_path(
+        lambda p, v: (jnp.full_like(v, -12.0)
+                      if any(getattr(k, "key", None) == "dt_projs_bias"
+                             for k in p) else v), params)
+    x = 0.01 * jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32))
+    taus = select_scan_tau(model, tiny, bs, x, image_size=32)
+    # stages at 32px: L = 64 (8x8), 16 (4x4) -> packing caps 64, 16
+    assert taus == (_packing_cap(64), _packing_cap(16))
+    assert taus[0] > SAFE_FLOOR  # actually upgraded, not floored
+
+
+def test_model_scan_tau_is_static_config():
+    """Per-stage scan_tau threads to SS2D and changes the apply identity
+    (clone -> retrace), while params stay interchangeable."""
+    m16 = _tiny_model()
+    m64 = m16.clone(scan_tau=(64, 16))
+    params, bs = _init(m16)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    y16 = m16.apply({"params": params, "batch_stats": bs}, x, True)
+    y64 = m64.apply({"params": params, "batch_stats": bs}, x, True)
+    # assoc impl ignores tau: numerics identical, proving param compatibility
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y64), atol=1e-6)
