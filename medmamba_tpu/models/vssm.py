@@ -289,8 +289,16 @@ class SS2D(nn.Module):
         # bit-identical (cross_scan_fwd), so the hot path makes TWO
         # direction-homogeneous scan calls -- one forward, one native-reverse
         # -- on the same (B, 2, D, L) tensor. No flipped copies, no
-        # 4-direction stack, no mixed-direction split/stitch inside the
-        # kernel wrapper.
+        # 4-direction stack.
+        #
+        # MEASURED round 3 and REJECTED: one 4-direction launch (the kernel's
+        # per-group reverse branches + u_tile=2 shared-u index maps, both
+        # kept and tested in ops/pallas_scan.py). Step 267.5 -> 276.9 ms on
+        # v5e: the merged fwd kernel is ~+1.1 ms/block (direction-branch
+        # overhead eats the launch saving), grad neutral, and the XLA glue
+        # around it costs ~+8 ms/step (tiled-du reduce_sum +2.2, reshape
+        # +2.6, add_any +1.9, concat/pad +1.5) against -4 ms of launch-gap
+        # ("while" self-time) savings.
         xs = cross_scan_fwd(x)  # (B, 2, D, L)
 
         x_proj_weight = self.param(

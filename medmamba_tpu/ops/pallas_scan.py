@@ -516,8 +516,12 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
 def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     y_ref, st_ref, last_ref, h_scr,
                     *, l_valid: int, chunk: int, tau: int,
-                    reverse: bool = False, pitch: Optional[int] = None,
+                    reverse=False, pitch: Optional[int] = None,
                     elem_len: Optional[int] = None):
+    """``reverse``: bool (uniform direction) or ``("mixed", n_fwd)`` --
+    groups < n_fwd scan forward, groups >= n_fwd scan in reverse, resolved
+    per program with a branch on the group grid index (the launch-merge that
+    lets SS2D run all four CrossScan directions in ONE kernel call)."""
     t = pl.program_id(3)
     nc = pl.num_programs(3)
 
@@ -525,48 +529,62 @@ def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     def _():
         h_scr[...] = jnp.zeros(h_scr.shape, h_scr.dtype)
 
-    h0 = h_scr[...]                                   # (Bb, Db, N)
-
     u = u_ref[:, 0].astype(jnp.float32)               # (Bb, Db, T)
-    dt = dt_ref[:, 0].astype(jnp.float32)
-    dt = jax.nn.softplus(dt + bias_ref[0, 0, :, :])
-    if pitch is None and l_valid % chunk != 0:
-        # buffer chunk index: reversed scans walk buffer chunks last-to-first
-        c = (nc - 1 - t) if reverse else t
-        pos = c * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, chunk), 2)
-        dt = jnp.where(pos < l_valid, dt, 0.0)        # pad: decay 1, inject 0
+    dt0 = dt_ref[:, 0].astype(jnp.float32)
+    dt0 = jax.nn.softplus(dt0 + bias_ref[0, 0, :, :])
     if pitch is not None and elem_len is not None and elem_len < pitch:
         # packed tails: zero dt past each element's true length so pad lanes
         # carry decay 1 / inject 0 exactly like the unpacked path (ADVICE r2:
         # unmasked pad dt consumed CLIP headroom in the near-clip regime)
         inelem = jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, chunk), 2) % pitch
-        dt = jnp.where(inelem < elem_len, dt, 0.0)
+        dt0 = jnp.where(inelem < elem_len, dt0, 0.0)
     A = A_ref[0]                                      # (Db, N)
     Bc = B_ref[:, 0].astype(jnp.float32)              # (Bb, N, T)
     Cc = C_ref[:, 0].astype(jnp.float32)
 
-    if _use_compact(chunk, tau):
-        E, _F, _ehs, _ps, GvT, h_last = _ssd_core_compact(
-            dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
-        y = jnp.sum(E * GvT * Cc[:, None], axis=2)    # (Bb, Db, T) fp32
-    else:
-        _E, _F, _eh, _G, hin_bcast, h_all, h_last, _dub = _ssd_forward_core(
-            dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
-        y = jnp.sum(h_all * Cc[:, None], axis=2)      # (Bb, Db, T)
-    y_ref[:, 0] = y + D_ref[0, 0, :, :] * u
-    h_scr[...] = h_last
+    def _go(rev: bool):
+        dt = dt0
+        if pitch is None and l_valid % chunk != 0:
+            # buffer chunk index: reversed scans walk chunks last-to-first
+            c = (nc - 1 - t) if rev else t
+            pos = c * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, chunk), 2)
+            dt = jnp.where(pos < l_valid, dt, 0.0)    # pad: decay 1, inject 0
+        h0 = h_scr[...]                               # (Bb, Db, N)
+        if _use_compact(chunk, tau):
+            E, _F, _ehs, _ps, GvT, h_last = _ssd_core_compact(
+                dt, u, A, Bc, chunk, tau, h0=h0, reverse=rev, pitch=pitch)
+            y = jnp.sum(E * GvT * Cc[:, None], axis=2)  # (Bb, Db, T) fp32
+        else:
+            _E, _F, _eh, _G, hb, h_all, h_last, _dub = _ssd_forward_core(
+                dt, u, A, Bc, chunk, tau, h0=h0, reverse=rev, pitch=pitch)
+            y = jnp.sum(h_all * Cc[:, None], axis=2)  # (Bb, Db, T)
+        y_ref[:, 0] = y + D_ref[0, 0, :, :] * u
+        # residual for the backward: the chunk entry state (the backward
+        # recomputes within-chunk quantities from it; storing finer-grained
+        # segment states was measured slower -- the (.., R=8)-lane layouts
+        # cost more than the recompute saves)
+        st_ref[:, 0, 0] = h0
+        h_scr[...] = h_last
 
-    # residual for the backward: the chunk entry state (the backward
-    # recomputes within-chunk quantities from it; storing finer-grained
-    # segment states was measured slower -- the (.., R=8)-lane layouts
-    # cost more than the recompute saves)
-    st_ref[:, 0, 0] = h0
+    if isinstance(reverse, tuple):                    # ("mixed", n_fwd)
+        n_fwd = reverse[1]
+        g_id = pl.program_id(1)
+
+        @pl.when(g_id < n_fwd)
+        def _():
+            _go(False)
+
+        @pl.when(g_id >= n_fwd)
+        def _():
+            _go(True)
+    else:
+        _go(bool(reverse))
 
     @pl.when(t == nc - 1)
     def _():
-        last_ref[:, 0] = h_last
+        last_ref[:, 0] = h_scr[...]
 
 
 # ---------------------------------------------------------------------------
@@ -627,20 +645,47 @@ def _kernel_impl() -> str:
     return os.environ.get("MEDMAMBA_SCAN_KERNEL", "ssd")
 
 
+def _norm_reverse(reverse, g: int):
+    """Normalize a reverse spec to False | True | ("mixed", n_fwd).
+
+    A per-group tuple must be all-False, all-True, or a False-prefix /
+    True-suffix split (the SS2D direction layout); arbitrary interleavings
+    are rejected (callers fall back to direction-homogeneous dispatch)."""
+    if isinstance(reverse, (tuple, list)):
+        fl = tuple(bool(x) for x in reverse)
+        if len(fl) != g:
+            raise ValueError(f"{len(fl)} reverse flags for {g} groups")
+        if not any(fl):
+            return False
+        if all(fl):
+            return True
+        n_fwd = fl.index(True)
+        if fl != (False,) * n_fwd + (True,) * (g - n_fwd):
+            raise ValueError(f"unsupported mixed reverse pattern {fl}")
+        return ("mixed", n_fwd)
+    return bool(reverse)
+
+
 def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
-                reverse: bool = False, pitch: Optional[int] = None,
+                reverse=False, pitch: Optional[int] = None,
                 elem_len: Optional[int] = None,
                 tau: Optional[int] = None):
-    """u/delta: (Bb, G, dpg, Lp); B/C: (Bb, G, N, Lp); A: (G, dpg, N);
-    D/bias: (G, dpg). Returns y (fp32), chunk states, last state.
+    """delta: (Bb, G, dpg, Lp); B/C: (Bb, G, N, Lp); A: (G, dpg, N);
+    D/bias: (G, dpg); u: (Bb, G_u, dpg, Lp) where G_u divides G -- group k
+    reads u group ``k % G_u`` via its index map, so SS2D's shared forward/
+    reverse input buffers are never duplicated in HBM. Returns y (fp32),
+    chunk states, last state.
 
-    ``reverse=True`` scans every group right-to-left over the buffer: data
-    blocks are fed in reversed chunk order and the kernel mirrors its scan
-    direction, so flipped sequences are never materialized and y comes out in
-    buffer order."""
-    bb, g, dpg, lp = u.shape
+    ``reverse``: False | True | per-group tuple (False-prefix/True-suffix).
+    Reversed groups scan right-to-left over the buffer: data blocks are fed
+    in reversed chunk order and the kernel mirrors its scan direction, so
+    flipped sequences are never materialized and y comes out in buffer
+    order."""
+    bb, g_u, dpg, lp = u.shape
+    g = B.shape[1]
     n = A.shape[-1]
     nc = lp // chunk
+    rev = _norm_reverse(reverse, g)
     b_blk, dblk = _pick_blocks(bb, dpg, n, chunk)
     if _kernel_impl() == "ssd":
         # the SSD form keeps ~11 (Bb, Db, N, T) cubes live (E/F/W/G/q/h/...)
@@ -652,17 +697,21 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
         kernel = functools.partial(_fwd_kernel_ssd, l_valid=l_valid,
                                    chunk=chunk,
                                    tau=min(tau or _tau(), chunk),
-                                   reverse=reverse, pitch=pitch,
+                                   reverse=rev, pitch=pitch,
                                    elem_len=elem_len)
     else:
-        assert not reverse and pitch is None, \
-            "reverse/packed scans require the ssd kernel"
+        assert rev is False and pitch is None and g_u == g, \
+            "reverse/packed/shared-u scans require the ssd kernel"
         kernel = functools.partial(_fwd_kernel, l_valid=l_valid, chunk=chunk)
     nd = dpg // dblk
     grid = (nd, g, bb // b_blk, nc)
 
-    def data_t(t):  # buffer chunk index for processed chunk t
-        return nc - 1 - t if reverse else t
+    def data_t(gg, t):  # buffer chunk index for processed chunk t
+        if rev is True:
+            return nc - 1 - t
+        if rev is False:
+            return t
+        return jnp.where(gg >= rev[1], nc - 1 - t, t)
 
     st_spec = pl.BlockSpec((b_blk, 1, 1, dblk, n),
                            lambda j, gg, b, t: (b, gg, t, j, 0))
@@ -673,20 +722,20 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
+                         lambda j, gg, b, t: (b, gg % g_u, j, data_t(gg, t))),
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(gg, t))),
             pl.BlockSpec((b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (b, gg, 0, data_t(t))),
+                         lambda j, gg, b, t: (b, gg, 0, data_t(gg, t))),
             pl.BlockSpec((b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (b, gg, 0, data_t(t))),
+                         lambda j, gg, b, t: (b, gg, 0, data_t(gg, t))),
             pl.BlockSpec((1, dblk, n), lambda j, gg, b, t: (gg, j, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(gg, t))),
             st_spec,
             pl.BlockSpec((b_blk, 1, dblk, n),
                          lambda j, gg, b, t: (b, gg, j, 0)),
@@ -723,7 +772,7 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     du_ref, ddt_ref, dB_ref, dC_ref, dA_ref, dbias_ref,
                     dD_ref, dh_scr, dA_scr, dbias_scr, dD_scr,
                     *, l_valid: int, chunk: int, tau: int,
-                    reverse: bool = False, pitch: Optional[int] = None,
+                    reverse=False, pitch: Optional[int] = None,
                     elem_len: Optional[int] = None):
     # grid = (group, batch_block, L_chunk, d_block) -- d_block INNERMOST so
     # the j-independent B/C input blocks stay VMEM-resident across the
@@ -754,127 +803,149 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
 
     u = u_ref[:, 0].astype(jnp.float32)                # (Bb, Db, T)
     dt_raw = dt_ref[:, 0].astype(jnp.float32) + bias_ref[0, 0, :, :]
-    dt = jax.nn.softplus(dt_raw)
+    dt0 = jax.nn.softplus(dt_raw)
     sig = jax.nn.sigmoid(dt_raw)
     A = A_ref[0]                                       # (Db, N)
     Bc = B_ref[:, 0].astype(jnp.float32)               # (Bb, N, T)
     Cc = C_ref[:, 0].astype(jnp.float32)
-    gy = gy_ref[:, 0]                                  # (Bb, Db, T) fp32
+    gy0 = gy_ref[:, 0]                                 # (Bb, Db, T) fp32
     h0 = st_ref[:, 0, 0]                               # (Bb, Db, N)
 
-    if pitch is None and l_valid % chunk != 0:
-        # buffer chunk index: the bwd walks processed chunks in reverse
-        c = t if reverse else (nc - 1 - t)
-        pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
-        valid = pos < l_valid
-        dt = jnp.where(valid, dt, 0.0)
-        gy = jnp.where(valid, gy, 0.0)
     if pitch is not None and elem_len is not None and elem_len < pitch:
         # packed tails: must match the forward's dt masking exactly
         inelem = jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, chunk), 2) % pitch
-        dt = jnp.where(inelem < elem_len, dt, 0.0)
+        dt0 = jnp.where(inelem < elem_len, dt0, 0.0)
 
     cdt = _compute_dtype()
     m_cum, m_rev, m_seg = _seg_matrices(chunk, tau)
-    m_adj = m_cum if reverse else m_rev
-    if _use_compact(chunk, tau):
-        # recompute (compact boundary) + compact adjoint scan:
-        # dh_t = F_t * (adjcumsum_t(E q) + E_end_j * V_j), with the
-        # cross-segment carries V on (Bb, Db, N*nseg) lanes
-        nseg = chunk // tau
-        m_pick = _pick_matrix(chunk, tau)
-        E, F, ehs, ps, GvT, _hl = _ssd_core_compact(
-            dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
-        h_all = E * GvT
-        dub = (dt * u).astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
-        eq = E * (Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :])
-        rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_pick], axis=1))
-        rc = rcg[..., :chunk]
-        # adjoint boundary recurrence V_prev = p_j V + E_end_j * sum_j(Eq),
-        # processed opposite to the primal direction, as a static loop on
-        # per-segment (Bb, Db, N) tensors (mirror of the forward's)
-        spe = None if pitch is None else pitch // tau
-        order = range(nseg) if reverse else range(nseg - 1, -1, -1)
-        vs = [None] * nseg
-        V = dh_scr[j]
-        for idx, k in enumerate(order):
-            if spe is not None and idx % spe == 0 and idx > 0:
-                V = jnp.zeros_like(V)   # packed element boundary
-            vs[k] = V
-            V = ps[k] * V + ehs[k] * _col(rcg, chunk + k)
-        dh_scr[j] = V                   # carry into the next-processed chunk
-        if nseg == 1:
-            vaT = (ehs[0] * vs[0])[..., None]
+
+    def _go(rv_dir: bool):
+        dt, gy = dt0, gy0
+        if pitch is None and l_valid % chunk != 0:
+            # buffer chunk index: the bwd walks processed chunks in reverse
+            c = t if rv_dir else (nc - 1 - t)
+            pos = c * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, chunk), 2)
+            valid = pos < l_valid
+            dt = jnp.where(valid, dt, 0.0)
+            gy = jnp.where(valid, gy, 0.0)
+        m_adj = m_cum if rv_dir else m_rev
+        if _use_compact(chunk, tau):
+            # recompute (compact boundary) + compact adjoint scan:
+            # dh_t = F_t * (adjcumsum_t(E q) + E_end_j * V_j), with the
+            # cross-segment carries V on (Bb, Db, N*nseg) lanes
+            nseg = chunk // tau
+            m_pick = _pick_matrix(chunk, tau)
+            E, F, ehs, ps, GvT, _hl = _ssd_core_compact(
+                dt, u, A, Bc, chunk, tau, h0=h0, reverse=rv_dir, pitch=pitch)
+            h_all = E * GvT
+            dub = (dt * u).astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
+            eq = E * (Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :])
+            rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_pick], axis=1))
+            rc = rcg[..., :chunk]
+            # adjoint boundary recurrence V_prev = p_j V + E_end_j sum_j(Eq),
+            # processed opposite to the primal direction, as a static loop on
+            # per-segment (Bb, Db, N) tensors (mirror of the forward's)
+            spe = None if pitch is None else pitch // tau
+            order = range(nseg) if rv_dir else range(nseg - 1, -1, -1)
+            vs = [None] * nseg
+            V = dh_scr[j]
+            for idx, k in enumerate(order):
+                if spe is not None and idx % spe == 0 and idx > 0:
+                    V = jnp.zeros_like(V)   # packed element boundary
+                vs[k] = V
+                V = ps[k] * V + ehs[k] * _col(rcg, chunk + k)
+            dh_scr[j] = V               # carry into the next-processed chunk
+            if nseg == 1:
+                vaT = (ehs[0] * vs[0])[..., None]
+            else:
+                va8 = jnp.stack([ehs[k] * vs[k] for k in range(nseg)],
+                                axis=-1)
+                vaT = _matmul_t(va8, m_pick.T)
+            dh = F * (rc + vaT)
         else:
-            va8 = jnp.stack([ehs[k] * vs[k] for k in range(nseg)], axis=-1)
-            vaT = _matmul_t(va8, m_pick.T)
-        dh = F * (rc + vaT)
+            E, F, ehalf, _G, _hb, h_all, _h_last, dub = _ssd_forward_core(
+                dt, u, A, Bc, chunk, tau, h0=h0, reverse=rv_dir, pitch=pitch)
+
+            # adjoint scan: dh_t = F_t * (revcumsum_t(E q) + E_end_j V_j)
+            # with the cross-segment carries V solved by a tau-stride
+            # doubling scan running opposite to the forward direction
+            # (everything below is the exact lane mirror when rv_dir)
+            q = Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :]
+            eq = E * q                                 # (Bb, Db, N, T) cdt
+            rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1))
+            rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]  # cumsum|totals
+            carry = dh_scr[j]
+            carry_b = jnp.broadcast_to(carry[..., None],
+                                       carry.shape + (chunk,))
+            p = ehalf * ehalf
+            bprime = ehalf * rcsum                     # b'_j = E_end_j sum(Eq)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
+            # the adjoint scan runs opposite to the primal direction; for
+            # packed chunks, decouple elements with the matching reset mask
+            reset = (None if pitch is None else
+                     _pack_reset_mask(rv_dir, pitch, tau, chunk))
+            if reset is not None:
+                p = jnp.where(reset, 0.0, p)
+            if rv_dir:
+                bprime = jnp.where(lane < tau, bprime + p * carry_b, bprime)
+                rv = _seg_scan_fwd(p, bprime, tau, chunk)
+                v = jnp.concatenate([carry_b[..., :tau], rv[..., :-tau]],
+                                    axis=-1)
+                dh_scr[j] = _col(rv, -1)
+            else:
+                bprime = jnp.where(lane >= chunk - tau,  # fold carry V_{R-1}
+                                   bprime + p * carry_b, bprime)
+                rv = _seg_scan_rev(p, bprime, tau, chunk)  # rv_j = V_{j-1}
+                v = jnp.concatenate([rv[..., tau:], carry_b[..., :tau]],
+                                    axis=-1)
+                dh_scr[j] = _col(rv, 0)                # = a_0 dh_0 carry
+            if reset is not None:
+                v = jnp.where(reset, 0.0, v)
+            dh = F * (rc + ehalf * v)
+
+        # parameter/input gradients (a_t h_{t-1} = h_t - dub_t)
+        dhB = jnp.sum(dh * Bc[:, None], axis=2)        # (Bb, Db, T)
+        p2 = dh * (h_all - dub)
+        dadt = jnp.sum(p2 * A[None, :, :, None], axis=2)  # (Bb, Db, T)
+        du_out = dt * dhB + D_ref[0, 0, :, :] * gy
+        ddt_raw = (u * dhB + dadt) * sig
+
+        du_ref[:, 0] = du_out
+        ddt_ref[:, 0] = ddt_raw
+        # dB/dC blocks are j-independent: accumulated in VMEM across the
+        # innermost d-block sweep, written once per (group, batch, chunk)
+        dbc = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)
+        dcc = jnp.sum(h_all * gy[:, :, None, :], axis=1)
+
+        @pl.when(j == 0)
+        def _():
+            dB_ref[:, 0] = dbc
+            dC_ref[:, 0] = dcc
+
+        @pl.when(j > 0)
+        def _():
+            dB_ref[:, 0] += dbc
+            dC_ref[:, 0] += dcc
+
+        dA_scr[j] += jnp.sum(p2 * dt[:, :, None, :], axis=(0, 3))
+        dbias_scr[j] += jnp.sum(ddt_raw, axis=(0, 2))[:, None]
+        dD_scr[j] += jnp.sum(gy * u, axis=(0, 2))[:, None]
+
+    if isinstance(reverse, tuple):                     # ("mixed", n_fwd)
+        n_fwd = reverse[1]
+        g_id = pl.program_id(0)
+
+        @pl.when(g_id < n_fwd)
+        def _():
+            _go(False)
+
+        @pl.when(g_id >= n_fwd)
+        def _():
+            _go(True)
     else:
-        E, F, ehalf, _G, _hb, h_all, _h_last, dub = _ssd_forward_core(
-            dt, u, A, Bc, chunk, tau, h0=h0, reverse=reverse, pitch=pitch)
-
-        # adjoint scan: dh_t = F_t * (revcumsum_t(E q) + E_end_j * V_j) with
-        # the cross-segment carries V solved by a tau-stride doubling scan
-        # running opposite to the forward direction (everything below is the
-        # exact lane mirror when reverse=True)
-        q = Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :]
-        eq = E * q                                     # (Bb, Db, N, T) cdt
-        rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1))
-        rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]  # adj cumsum|seg totals
-        carry = dh_scr[j]
-        carry_b = jnp.broadcast_to(carry[..., None], carry.shape + (chunk,))
-        p = ehalf * ehalf
-        bprime = ehalf * rcsum                         # b'_j = E_end_j sum(Eq)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
-        # the adjoint scan runs opposite to the primal direction; for packed
-        # chunks, decouple elements with the matching reset mask
-        reset = (None if pitch is None else
-                 _pack_reset_mask(reverse, pitch, tau, chunk))
-        if reset is not None:
-            p = jnp.where(reset, 0.0, p)
-        if reverse:
-            bprime = jnp.where(lane < tau, bprime + p * carry_b, bprime)
-            rv = _seg_scan_fwd(p, bprime, tau, chunk)
-            v = jnp.concatenate([carry_b[..., :tau], rv[..., :-tau]], axis=-1)
-            dh_scr[j] = _col(rv, -1)
-        else:
-            bprime = jnp.where(lane >= chunk - tau,    # fold carry: V_{R-1}
-                               bprime + p * carry_b, bprime)
-            rv = _seg_scan_rev(p, bprime, tau, chunk)  # rv_j = V_{j-1}
-            v = jnp.concatenate([rv[..., tau:], carry_b[..., :tau]], axis=-1)
-            dh_scr[j] = _col(rv, 0)                    # = a_0 dh_0 carry
-        if reset is not None:
-            v = jnp.where(reset, 0.0, v)
-        dh = F * (rc + ehalf * v)
-
-    # parameter/input gradients (a_t h_{t-1} = h_t - dub_t)
-    dhB = jnp.sum(dh * Bc[:, None], axis=2)            # (Bb, Db, T)
-    p = dh * (h_all - dub)
-    dadt = jnp.sum(p * A[None, :, :, None], axis=2)    # (Bb, Db, T)
-    du_out = dt * dhB + D_ref[0, 0, :, :] * gy
-    ddt_raw = (u * dhB + dadt) * sig
-
-    du_ref[:, 0] = du_out
-    ddt_ref[:, 0] = ddt_raw
-    # dB/dC blocks are j-independent: accumulated in VMEM across the
-    # innermost d-block sweep, written back once per (group, batch, chunk)
-    dbc = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)
-    dcc = jnp.sum(h_all * gy[:, :, None, :], axis=1)
-
-    @pl.when(j == 0)
-    def _():
-        dB_ref[:, 0] = dbc
-        dC_ref[:, 0] = dcc
-
-    @pl.when(j > 0)
-    def _():
-        dB_ref[:, 0] += dbc
-        dC_ref[:, 0] += dcc
-
-    dA_scr[j] += jnp.sum(p * dt[:, :, None, :], axis=(0, 3))
-    dbias_scr[j] += jnp.sum(ddt_raw, axis=(0, 2))[:, None]
-    dD_scr[j] += jnp.sum(gy * u, axis=(0, 2))[:, None]
+        _go(bool(reverse))
 
     @pl.when(jnp.logical_and(b_id == nb - 1, t == nc - 1))
     def _():
@@ -963,21 +1034,27 @@ def _bwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
 
 
 def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
-                l_valid: int, reverse: bool = False,
+                l_valid: int, reverse=False,
                 pitch: Optional[int] = None,
                 elem_len: Optional[int] = None,
                 tau: Optional[int] = None):
-    bb, g, dpg, lp = u.shape
+    bb, g_u, dpg, lp = u.shape
+    g = B.shape[1]
     n = A.shape[-1]
     nc = lp // chunk
+    rev_mode = _norm_reverse(reverse, g)
 
     def rev(t):
         return nc - 1 - t
 
-    def data_t(t):
+    def data_t(gg, t):
         # processed chunks run in reverse; for reversed scans that is buffer
         # order first-to-last
-        return t if reverse else nc - 1 - t
+        if rev_mode is True:
+            return t
+        if rev_mode is False:
+            return nc - 1 - t
+        return jnp.where(gg >= rev_mode[1], t, nc - 1 - t)
 
     if _kernel_impl() == "ssd":
         # see _fwd_pallas: the SSD backward holds the most live cubes
@@ -989,7 +1066,7 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
         kernel = functools.partial(_bwd_kernel_ssd, l_valid=l_valid,
                                    chunk=chunk,
                                    tau=min(tau or _tau(), chunk),
-                                   reverse=reverse, pitch=pitch,
+                                   reverse=rev_mode, pitch=pitch,
                                    elem_len=elem_len)
         nd = dpg // dblk
         # d-block innermost: B/C blocks and the dB/dC accumulators are
@@ -1000,13 +1077,14 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((b_blk, 1, dblk, chunk),
-                             lambda gg, b, t, j: (b, gg, j, data_t(t))),
+                             lambda gg, b, t, j: (b, gg % g_u, j,
+                                                  data_t(gg, t))),
                 pl.BlockSpec((b_blk, 1, dblk, chunk),
-                             lambda gg, b, t, j: (b, gg, j, data_t(t))),
+                             lambda gg, b, t, j: (b, gg, j, data_t(gg, t))),
                 pl.BlockSpec((b_blk, 1, n, chunk),
-                             lambda gg, b, t, j: (b, gg, 0, data_t(t))),
+                             lambda gg, b, t, j: (b, gg, 0, data_t(gg, t))),
                 pl.BlockSpec((b_blk, 1, n, chunk),
-                             lambda gg, b, t, j: (b, gg, 0, data_t(t))),
+                             lambda gg, b, t, j: (b, gg, 0, data_t(gg, t))),
                 pl.BlockSpec((1, dblk, n), lambda gg, b, t, j: (gg, j, 0)),
                 pl.BlockSpec((1, 1, dblk, 1),
                              lambda gg, b, t, j: (gg, j, 0, 0)),
@@ -1015,17 +1093,17 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
                 pl.BlockSpec((b_blk, 1, 1, dblk, n),
                              lambda gg, b, t, j: (b, gg, rev(t), j, 0)),
                 pl.BlockSpec((b_blk, 1, dblk, chunk),
-                             lambda gg, b, t, j: (b, gg, j, data_t(t))),
+                             lambda gg, b, t, j: (b, gg, j, data_t(gg, t))),
             ],
             out_specs=[
                 pl.BlockSpec((b_blk, 1, dblk, chunk),
-                             lambda gg, b, t, j: (b, gg, j, data_t(t))),
+                             lambda gg, b, t, j: (b, gg, j, data_t(gg, t))),
                 pl.BlockSpec((b_blk, 1, dblk, chunk),
-                             lambda gg, b, t, j: (b, gg, j, data_t(t))),
+                             lambda gg, b, t, j: (b, gg, j, data_t(gg, t))),
                 pl.BlockSpec((b_blk, 1, n, chunk),
-                             lambda gg, b, t, j: (b, gg, 0, data_t(t))),
+                             lambda gg, b, t, j: (b, gg, 0, data_t(gg, t))),
                 pl.BlockSpec((b_blk, 1, n, chunk),
-                             lambda gg, b, t, j: (b, gg, 0, data_t(t))),
+                             lambda gg, b, t, j: (b, gg, 0, data_t(gg, t))),
                 pl.BlockSpec((1, dblk, n), lambda gg, b, t, j: (gg, j, 0)),
                 pl.BlockSpec((1, 1, dblk, 1),
                              lambda gg, b, t, j: (gg, j, 0, 0)),
@@ -1054,8 +1132,8 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
         return (du, ddt, dB, dC, dA,
                 dbias.reshape(g, dpg), dD.reshape(g, dpg))
 
-    assert not reverse and pitch is None, \
-        "reverse/packed scans require the ssd kernel"
+    assert rev_mode is False and pitch is None and g_u == g, \
+        "reverse/packed/shared-u scans require the ssd kernel"
     b_blk, dblk = _pick_blocks(bb, dpg, n, chunk,
                                vmem_cube_budget=1024 * 1024)
     kernel = functools.partial(_bwd_kernel, l_valid=l_valid, chunk=chunk)
@@ -1070,29 +1148,29 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(gg, t))),
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(gg, t))),
             pl.BlockSpec((b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (b, gg, 0, data_t(t))),
+                         lambda j, gg, b, t: (b, gg, 0, data_t(gg, t))),
             pl.BlockSpec((b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (b, gg, 0, data_t(t))),
+                         lambda j, gg, b, t: (b, gg, 0, data_t(gg, t))),
             pl.BlockSpec((1, dblk, n), lambda j, gg, b, t: (gg, j, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
             st_spec,
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(gg, t))),
         ],
         out_specs=[
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(gg, t))),
             pl.BlockSpec((b_blk, 1, dblk, chunk),
-                         lambda j, gg, b, t: (b, gg, j, data_t(t))),
+                         lambda j, gg, b, t: (b, gg, j, data_t(gg, t))),
             pl.BlockSpec((1, b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (j, b, gg, 0, data_t(t))),
+                         lambda j, gg, b, t: (j, b, gg, 0, data_t(gg, t))),
             pl.BlockSpec((1, b_blk, 1, n, chunk),
-                         lambda j, gg, b, t: (j, b, gg, 0, data_t(t))),
+                         lambda j, gg, b, t: (j, b, gg, 0, data_t(gg, t))),
             pl.BlockSpec((1, dblk, n), lambda j, gg, b, t: (gg, j, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
             pl.BlockSpec((1, 1, dblk, 1), lambda j, gg, b, t: (gg, j, 0, 0)),
@@ -1136,9 +1214,13 @@ def _pick_chunk(l: int, chunk: int) -> int:
     return min(chunk, _cdiv(l, 128) * 128)
 
 
-def _layout(u, delta, A, B, C, D, bias, chunk):
-    """(B, D, L) channel layout -> grouped (Bb, G, dpg, Lp) padded layout."""
-    bb, d, l = u.shape
+def _layout(u, delta, A, B, C, D, bias, chunk, u_tile=1):
+    """(B, D, L) channel layout -> grouped (Bb, G, dpg, Lp) padded layout.
+
+    ``u_tile``: u carries ``G // u_tile`` group slots (SS2D passes its shared
+    forward/reverse scan input once); the kernel index maps read group k's u
+    from slot ``k % (G // u_tile)``."""
+    bb, d, l = delta.shape
     g, n = B.shape[1], B.shape[2]
     dpg = d // g
     lp = _cdiv(l, chunk) * chunk
@@ -1150,7 +1232,7 @@ def _layout(u, delta, A, B, C, D, bias, chunk):
         cfg = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
         return jnp.pad(x, cfg)
 
-    u4 = pad_l(u.reshape(bb, g, dpg, l))
+    u4 = pad_l(u.reshape(bb, g // u_tile, dpg, l))
     dt4 = pad_l(delta.reshape(bb, g, dpg, l))
     B4 = pad_l(B)
     C4 = pad_l(C)
@@ -1160,19 +1242,19 @@ def _layout(u, delta, A, B, C, D, bias, chunk):
     return u4, dt4, A3, B4, C4, D2, bias2, l, lp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _scan_core(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False,
-               pitch=None, elem_len=None, tau=None):
+               pitch=None, elem_len=None, tau=None, u_tile=1):
     (y, _last), _res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
-                                      reverse, pitch, elem_len, tau)
+                                      reverse, pitch, elem_len, tau, u_tile)
     return y
 
 
 def _scan_core_fwd(u, delta, A, B, C, D, bias, chunk, reverse=False,
-                   pitch=None, elem_len=None, tau=None):
-    bb, d, l = u.shape
+                   pitch=None, elem_len=None, tau=None, u_tile=1):
+    bb, d, l = delta.shape
     u4, dt4, A3, B4, C4, D2, bias2, l, lp = _layout(
-        u, delta, A, B, C, D, bias, chunk)
+        u, delta, A, B, C, D, bias, chunk, u_tile)
     y4, states, last = _fwd_pallas(u4, dt4, A3, B4, C4, D2, bias2, chunk, l,
                                    reverse=reverse, pitch=pitch,
                                    elem_len=elem_len, tau=tau)
@@ -1182,15 +1264,16 @@ def _scan_core_fwd(u, delta, A, B, C, D, bias, chunk, reverse=False,
 
 
 def _vjp_fwd(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False,
-             pitch=None, elem_len=None, tau=None):
+             pitch=None, elem_len=None, tau=None, u_tile=1):
     (y, _last), res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
-                                     reverse, pitch, elem_len, tau)
+                                     reverse, pitch, elem_len, tau, u_tile)
     return y, res
 
 
-def _vjp_bwd(chunk, in_dtypes, reverse, pitch, elem_len, tau, res, gy):
+def _vjp_bwd(chunk, in_dtypes, reverse, pitch, elem_len, tau, u_tile, res,
+             gy):
     u4, dt4, A3, B4, C4, D2, bias2, states = res
-    bb, g, dpg, lp = u4.shape
+    bb, g, dpg, lp = dt4.shape
     d = g * dpg
     n = A3.shape[-1]
     l = gy.shape[-1]
@@ -1200,7 +1283,10 @@ def _vjp_bwd(chunk, in_dtypes, reverse, pitch, elem_len, tau, res, gy):
     du, ddt, dB, dC, dA, dbias, dD = _bwd_pallas(
         u4, dt4, A3, B4, C4, D2, bias2, states, gy4, chunk, l,
         reverse=reverse, pitch=pitch, elem_len=elem_len, tau=tau)
-    du = du.reshape(bb, d, lp)[:, :, :l]
+    if u_tile > 1:
+        # the shared u fed every tiled group: sum their cotangents
+        du = du.reshape(bb, u_tile, g // u_tile, dpg, lp).sum(axis=1)
+    du = du.reshape(bb, d // u_tile, lp)[:, :, :l]
     ddt = ddt.reshape(bb, d, lp)[:, :, :l]
     dB = dB[..., :l]
     dC = dC[..., :l]
@@ -1226,6 +1312,7 @@ def selective_scan_pallas(
     chunk: int = DEFAULT_CHUNK,
     reverse_dirs: Optional[Tuple[bool, ...]] = None,
     tau: Optional[int] = None,
+    u_tile: int = 1,
 ):
     """Fused selective scan with the MedMamba.py:273-279 call-site contract.
 
@@ -1235,9 +1322,19 @@ def selective_scan_pallas(
     ``reverse_dirs``: optional per-GROUP flags; flagged groups are scanned
     right-to-left with outputs in buffer order, so MedMamba's flipped
     directions (``torch.flip`` at MedMamba.py:257/:282) need no materialized
-    flipped copies. Groups with differing flags are dispatched as separate
-    (direction-homogeneous) kernel invocations.
+    flipped copies. A False-prefix/True-suffix pattern (SS2D's layout) runs
+    as ONE kernel launch with per-group direction branches; other mixed
+    patterns split into direction-homogeneous invocations.
+
+    ``u_tile``: u carries only ``g // u_tile`` groups of channels; scan group
+    k reads u group ``k % (g // u_tile)`` inside the kernel (no duplicated
+    HBM buffer). SS2D uses u_tile=2: directions 2/3 scan the same buffers as
+    0/1, just in reverse.
     """
+    if u_tile > 1 and (not delta_softplus or _kernel_impl() != "ssd"):
+        # fallback paths have no shared-u index maps: materialize the tile
+        u = jnp.concatenate([u] * u_tile, axis=1)
+        u_tile = 1
     if not delta_softplus:
         from medmamba_tpu.ops.selective_scan import (_flip_group_seqs,
                                                      selective_scan_assoc)
@@ -1250,7 +1347,7 @@ def selective_scan_pallas(
         y = _flip_y(y, B.shape[1], reverse_dirs)
         return (y, out[1]) if return_last_state else y
 
-    d = u.shape[1]
+    d = delta.shape[1]
     g = B.shape[1]
     if D is None:
         D = jnp.zeros((d,), jnp.float32)
@@ -1271,8 +1368,17 @@ def selective_scan_pallas(
         y = out[0] if return_last_state else out
         y = _flip_y(y, g, flags)
         return (y, out[1]) if return_last_state else y
+    mixed_sorted = False
     if flags and any(flags) and not all(flags):
-        # mixed directions: split into two direction-homogeneous calls
+        n_fwd = flags.index(True)
+        mixed_sorted = flags == (False,) * n_fwd + (True,) * (g - n_fwd)
+    if flags and any(flags) and not all(flags) and not mixed_sorted:
+        # arbitrarily interleaved directions: split into two
+        # direction-homogeneous calls (the single-launch fast path below
+        # handles the False-prefix/True-suffix layout SS2D uses)
+        if u_tile > 1:
+            u = jnp.concatenate([u] * u_tile, axis=1)
+            u_tile = 1
         fw = tuple(k for k in range(g) if not flags[k])
         rv = tuple(k for k in range(g) if flags[k])
         dpg = d // g
@@ -1313,7 +1419,9 @@ def selective_scan_pallas(
             return (stitch(out_f[0], out_r[0]), stitch(out_f[1], out_r[1]))
         return stitch(out_f, out_r)
 
-    reverse = bool(flags and all(flags))
+    # uniform direction -> bool; sorted mixed -> the per-group tuple (one
+    # launch, per-group direction branches inside the kernel)
+    reverse = flags if mixed_sorted else bool(flags and all(flags))
     bb = u.shape[0]
     l = u.shape[-1]
     c = _pick_chunk(l, chunk)
@@ -1345,7 +1453,7 @@ def selective_scan_pallas(
             y = _scan_core(pack(u), pack(delta),
                            jnp.asarray(A, jnp.float32), pack(B), pack(C),
                            D, delta_bias, c, in_dtypes, reverse, pitch, l,
-                           tau)
+                           tau, u_tile)
             y = y.reshape(y.shape[:-1] + (npack, pitch))
             y = jnp.moveaxis(y, -2, 1)
             return y.reshape((bb,) + y.shape[2:])[..., :l]
@@ -1353,7 +1461,8 @@ def selective_scan_pallas(
     if return_last_state:
         (y, last), _ = _scan_core_fwd(u, delta, jnp.asarray(A, jnp.float32),
                                       B, C, D, delta_bias, c, reverse,
-                                      tau=tau)
+                                      tau=tau, u_tile=u_tile)
         return y, last
     return _scan_core(u, delta, jnp.asarray(A, jnp.float32), B, C, D,
-                      delta_bias, c, in_dtypes, reverse, None, None, tau)
+                      delta_bias, c, in_dtypes, reverse, None, None, tau,
+                      u_tile)

@@ -233,6 +233,7 @@ def selective_scan(
     impl: str = "auto",
     reverse_dirs=None,
     tau: Optional[int] = None,
+    u_tile: int = 1,
 ):
     """Public selective scan with the reference call-site contract (MedMamba.py:273-279).
 
@@ -247,8 +248,15 @@ def selective_scan(
 
     reverse_dirs: optional per-group bools; flagged groups scan right-to-left
     with buffer-order outputs (the Pallas kernel handles this natively via
-    reversed index maps; other impls flip explicitly). This lets SS2D skip
-    materializing the flipped CrossScan copies (MedMamba.py:257/:282).
+    reversed index maps -- a False-prefix/True-suffix pattern runs as ONE
+    launch with per-group direction branches; other impls flip explicitly).
+    This lets SS2D skip materializing the flipped CrossScan copies
+    (MedMamba.py:257/:282).
+
+    u_tile: u carries only ``g // u_tile`` groups of channels; scan group k
+    reads u group ``k % (g // u_tile)`` (the Pallas kernel does this through
+    its index maps with no duplicated HBM buffer; other impls materialize
+    the tile). SS2D passes its shared forward/reverse buffers once (u_tile=2).
     """
     if impl == "auto":
         try:
@@ -278,14 +286,15 @@ def selective_scan(
                 partial(selective_scan_pallas,
                         delta_softplus=delta_softplus,
                         return_last_state=return_last_state,
-                        reverse_dirs=rflags, tau=tau),
+                        reverse_dirs=rflags, tau=tau, u_tile=u_tile),
                 mesh=mesh,
                 in_specs=(dp, dp, rep, dp, dp, rep, rep),
                 out_specs=(dp, dp) if return_last_state else dp,
                 check_rep=False)
+            d_full = delta.shape[1]
             return fn(u, delta, A, B, C,
-                      jnp.zeros((u.shape[1],), jnp.float32) if D is None else D,
-                      jnp.zeros((u.shape[1],), jnp.float32)
+                      jnp.zeros((d_full,), jnp.float32) if D is None else D,
+                      jnp.zeros((d_full,), jnp.float32)
                       if delta_bias is None else delta_bias)
         return selective_scan_pallas(
             u, delta, A, B, C, D,
@@ -294,7 +303,11 @@ def selective_scan(
             return_last_state=return_last_state,
             reverse_dirs=rflags,
             tau=tau,
+            u_tile=u_tile,
         )
+    if u_tile > 1:
+        # non-Pallas impls have no shared-u indexing: materialize the tile
+        u = jnp.concatenate([u] * u_tile, axis=1)
     fn = IMPLS[impl]
     if impl == "stub":
         # the stub is an elementwise no-op (y = D*u): flip + unflip would be

@@ -175,3 +175,37 @@ def test_pallas_grads_vs_assoc():
         gp, ga = np.asarray(gp), np.asarray(ga)
         scale = np.abs(ga).max() + 1e-6
         assert np.abs(gp - ga).max() / scale < 1e-3, name
+
+
+@pytest.mark.parametrize("l", [200, 49])
+def test_pallas_shared_u_tile_on_chip(l):
+    """u_tile=2 (kernel index maps alias u across direction groups) must
+    match the materialized duplicate on hardware -- fwd + grads, unpacked
+    (l=200) and batch-packed (l=49)."""
+    rng = np.random.default_rng(13)
+    _, delta, A, B, C, D, bias = _make(rng, b=4, d=64, l=l)
+    u_half = rng.standard_normal((4, 32, l)).astype(np.float32)
+    flags = (False, False, True, True)
+    args = tuple(jnp.asarray(a) for a in (u_half, delta, A, B, C, D, bias))
+    gyw = jnp.asarray(rng.standard_normal((4, 64, l)).astype(np.float32))
+
+    def tiled(a):
+        return selective_scan_pallas(a[0], a[1], a[2], a[3], a[4], a[5],
+                                     delta_bias=a[6], delta_softplus=True,
+                                     reverse_dirs=flags, u_tile=2)
+
+    def materialized(a):
+        u_full = jnp.concatenate([a[0], a[0]], axis=1)
+        return selective_scan_pallas(u_full, a[1], a[2], a[3], a[4], a[5],
+                                     delta_bias=a[6], delta_softplus=True,
+                                     reverse_dirs=flags)
+
+    np.testing.assert_allclose(np.asarray(tiled(args)),
+                               np.asarray(materialized(args)),
+                               rtol=1e-5, atol=1e-5)
+    g_t = jax.grad(lambda a: jnp.sum(tiled(a) * gyw))(args)
+    g_m = jax.grad(lambda a: jnp.sum(materialized(a) * gyw))(args)
+    for name, gt, gm in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_t, g_m):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gm),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)

@@ -289,3 +289,72 @@ def test_cross_scan_noflip_roundtrip():
     merged_buffer = np.asarray(
         cross_merge(jnp.asarray(ys_buffer), 4, 6, flipped=False))
     np.testing.assert_allclose(merged_buffer, merged_flipped, atol=1e-6)
+
+
+def test_pallas_sorted_mixed_dirs_single_launch_matches_assoc():
+    """The SS2D direction layout (False, False, True, True) runs as ONE
+    Pallas launch with per-group reverse branches; it must match the
+    explicit flip-scan-unflip reference, forward and gradients."""
+    from medmamba_tpu.ops.selective_scan import _flip_group_seqs, _flip_y
+    rng = np.random.default_rng(21)
+    # l not a multiple of the chunk: exercises the pad-mask branch per group
+    u, delta, A, B, C, D, bias = _mk(rng, b=2, d=16, n=8, l=200)
+    flags = (False, False, True, True)
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+
+    def ref(a):
+        uf, df, Bf, Cf = _flip_group_seqs(a[0], a[1], a[3], a[4], flags)
+        y = selective_scan_assoc(uf, df, a[2], Bf, Cf, a[5], delta_bias=a[6],
+                                 delta_softplus=True)
+        return _flip_y(y, 4, flags)
+
+    def fused(a):
+        return selective_scan(a[0], a[1], a[2], a[3], a[4], a[5],
+                              delta_bias=a[6], delta_softplus=True,
+                              impl="pallas", reverse_dirs=flags)
+
+    np.testing.assert_allclose(np.asarray(fused(args)), np.asarray(ref(args)),
+                               rtol=1e-3, atol=3e-3)
+    gyw = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32))
+    g_f = jax.grad(lambda a: jnp.sum(fused(a) * gyw))(args)
+    g_r = jax.grad(lambda a: jnp.sum(ref(a) * gyw))(args)
+    for name, gf, gr in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_f, g_r):
+        scale = np.abs(np.asarray(gr)).max() + 1e-6
+        assert np.abs(np.asarray(gf) - np.asarray(gr)).max() / scale < 2e-3, \
+            name
+
+
+@pytest.mark.parametrize("l", [96, 49])
+def test_pallas_shared_u_tile_matches_materialized(l):
+    """u_tile=2 (scan group k reads u group k % 2 through the kernel index
+    maps) must match passing the duplicated u explicitly -- fwd and grads,
+    including the packed short-L path (l=49)."""
+    rng = np.random.default_rng(22)
+    _, delta, A, B, C, D, bias = _mk(rng, b=4, d=16, n=8, l=l)
+    u_half = rng.standard_normal((4, 8, l)).astype(np.float32)
+    flags = (False, False, True, True)
+    args = tuple(jnp.asarray(a) for a in
+                 (u_half, delta, A, B, C, D, bias))
+
+    def tiled(a):
+        return selective_scan(a[0], a[1], a[2], a[3], a[4], a[5],
+                              delta_bias=a[6], delta_softplus=True,
+                              impl="pallas", reverse_dirs=flags, u_tile=2)
+
+    def materialized(a):
+        u_full = jnp.concatenate([a[0], a[0]], axis=1)
+        return selective_scan(u_full, a[1], a[2], a[3], a[4], a[5],
+                              delta_bias=a[6], delta_softplus=True,
+                              impl="pallas", reverse_dirs=flags)
+
+    np.testing.assert_allclose(np.asarray(tiled(args)),
+                               np.asarray(materialized(args)),
+                               rtol=1e-5, atol=1e-5)
+    gyw = jnp.asarray(rng.standard_normal((4, 16, l)).astype(np.float32))
+    g_t = jax.grad(lambda a: jnp.sum(tiled(a) * gyw))(args)
+    g_m = jax.grad(lambda a: jnp.sum(materialized(a) * gyw))(args)
+    for name, gt, gm in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_t, g_m):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gm),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
