@@ -238,7 +238,7 @@ class SS2D(nn.Module):
     # per stage from measured magnitudes (train/tau_select.py).
     scan_tau: Optional[int] = None
 
-    def _sow_seg_budgets(self, dts, bias2, A2):
+    def _sow_seg_budgets(self, dts, bias2, A2, valid_len=None):
         """Sow max |A| * seg_sum(dt) per candidate tau into ``scan_stats``.
 
         The Pallas kernel's clipped-exponent factorization is exact while
@@ -252,6 +252,11 @@ class SS2D(nn.Module):
         """
         dt = jax.nn.softplus(dts.astype(jnp.float32)
                              + bias2.astype(jnp.float32)[None, :, :, None])
+        if valid_len is not None and valid_len < dt.shape[-1]:
+            # pre-padded sequences: the kernel zeroes dt past valid_len, so
+            # the budget measurement must too (softplus(0+bias) > 0 there)
+            pos = jnp.arange(dt.shape[-1])
+            dt = jnp.where(pos[None, None, None, :] < valid_len, dt, 0.0)
         abs_a = jnp.max(jnp.abs(A2), axis=-1)            # (2, d_inner)
         b, k2, dd, l = dt.shape
         budgets = []
@@ -299,7 +304,15 @@ class SS2D(nn.Module):
         # around it costs ~+8 ms/step (tiled-du reduce_sum +2.2, reshape
         # +2.6, add_any +1.9, concat/pad +1.5) against -4 ms of launch-gap
         # ("while" self-time) savings.
-        xs = cross_scan_fwd(x)  # (B, 2, D, L)
+        #
+        # Chunk-pad the sequence ONCE here (L 3136->3200 etc.): the einsums
+        # run over the zero pad (dts/Bs/Cs come out pre-padded) and the scan
+        # takes valid_len, replacing per-call u/dt/B/C pads in the wrapper
+        # and per-call y slices (cross_merge_fr slices once). Short-L stages
+        # (L <= 128) keep the batch-packed path untouched.
+        lpad = -(-l // 128) * 128 if l > 128 else l
+        vlen = l if lpad > l else None
+        xs = cross_scan_fwd(x, pad_to=lpad)  # (B, 2, D, Lp)
 
         x_proj_weight = self.param(
             "x_proj_weight", x_proj_init(d_inner), (k, dt_rank + 2 * n, d_inner))
@@ -309,7 +322,7 @@ class SS2D(nn.Module):
         A_logs = self.param("A_logs", a_log_init, (k * d_inner, n))
         Ds = self.param("Ds", nn.initializers.ones, (k * d_inner,))
 
-        u = xs.reshape(b, 2 * d_inner, l)
+        u = xs.reshape(b, 2 * d_inner, lpad)
         As = -jnp.exp(A_logs.astype(jnp.float32)).reshape(k, d_inner, n)
         Ds_f = Ds.astype(jnp.float32).reshape(k, d_inner)
         bias_f = dt_projs_bias.astype(jnp.float32)
@@ -322,19 +335,22 @@ class SS2D(nn.Module):
             dts = jnp.einsum("bkrl,kdr->bkdl", dts, wdt.astype(dts.dtype))
             if self.is_mutable_collection("scan_stats"):
                 self._sow_seg_budgets(dts, bias_f[ks[0]:ks[1] + 1],
-                                      As[ks[0]:ks[1] + 1])
+                                      As[ks[0]:ks[1] + 1], valid_len=vlen)
             y = selective_scan(
-                u, dts.reshape(b, 2 * d_inner, l),
+                u, dts.reshape(b, 2 * d_inner, lpad),
                 As[ks[0]:ks[1] + 1].reshape(2 * d_inner, n), Bs, Cs,
                 Ds_f[ks[0]:ks[1] + 1].reshape(-1),
                 delta_bias=bias_f[ks[0]:ks[1] + 1].reshape(-1),
                 delta_softplus=True, impl=self.scan_impl,
                 reverse_dirs=(rev, rev), tau=self.scan_tau,
-            )  # (B, 2*D, L) float32, buffer order
-            # the scan core itself stays fp32 (reference contract); in bf16
-            # block mode the merge/transpose/out_norm chain that follows runs
-            # in the block dtype (halves its bandwidth; fp32 mode unchanged)
-            return y.reshape(b, 2, d_inner, l).astype(self.dtype)
+                out_dtype=self.dtype, valid_len=vlen,
+            )  # (B, 2*D, Lp) block dtype, buffer order
+            # the scan CORE stays fp32 (reference contract); in bf16 block
+            # mode the kernel emits y already in bf16 (bit-identical to the
+            # cast this line used to apply, half the y-write/gy-read HBM
+            # traffic) and the merge/transpose/out_norm chain that follows
+            # runs in the block dtype; fp32 mode unchanged
+            return y.reshape(b, 2, d_inner, lpad).astype(self.dtype)
 
         y = cross_merge_fr(scan_pair((0, 1), False), scan_pair((2, 3), True),
                            h, w)  # (B, D, L)

@@ -37,7 +37,7 @@ def cross_scan(x: jnp.ndarray, flip: bool = True) -> jnp.ndarray:
     return jnp.concatenate([fwd, bwd], axis=1)                       # (B, 4, D, L)
 
 
-def cross_scan_fwd(x: jnp.ndarray) -> jnp.ndarray:
+def cross_scan_fwd(x: jnp.ndarray, pad_to: int = 0) -> jnp.ndarray:
     """(B, H, W, D) -> (B, 2, D, L): row-major + column-major rasters only.
 
     Directions 2/3 of the reference CrossScan are exact reversals of 0/1
@@ -45,22 +45,30 @@ def cross_scan_fwd(x: jnp.ndarray) -> jnp.ndarray:
     reverse-direction scans, their input data is bit-identical to 0/1 -- so
     the hot path never materializes the duplicated (B, 4, D, L) stack: the
     same (B, 2, D, L) tensor feeds one forward and one reverse scan call.
+
+    ``pad_to`` > L: zero-pad the sequence axis once here (the scan consumes
+    it with ``valid_len``), replacing separate u/dt/B/C pads downstream.
     """
     b, h, w, d = x.shape
     l = h * w
     x_hw = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, d, l)
     x_wh = jnp.transpose(x, (0, 3, 2, 1)).reshape(b, d, l)
-    return jnp.stack([x_hw, x_wh], axis=1)
+    xs = jnp.stack([x_hw, x_wh], axis=1)
+    if pad_to > l:
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, 0), (0, pad_to - l)))
+    return xs
 
 
 def cross_merge_fr(yf: jnp.ndarray, yr: jnp.ndarray, h: int, w: int
                    ) -> jnp.ndarray:
-    """Merge (B, 2, D, L) forward-scan and reverse-scan outputs (both in
+    """Merge (B, 2, D, Lp) forward-scan and reverse-scan outputs (both in
     buffer order) into (B, D, L): un-transpose the column-major pair and sum
-    all four -- cross_merge(flipped=False) on [yf0, yf1, yr0, yr1]."""
-    b, _, d, l = yf.shape
-    y02 = yf[:, 0] + yr[:, 0]
-    y13 = yf[:, 1] + yr[:, 1]
+    all four -- cross_merge(flipped=False) on [yf0, yf1, yr0, yr1]. Inputs
+    may carry scan padding past L = h*w; it is sliced off here."""
+    b, _, d, lp = yf.shape
+    l = h * w
+    y02 = (yf[:, 0] + yr[:, 0])[..., :l]
+    y13 = (yf[:, 1] + yr[:, 1])[..., :l]
     y13 = jnp.transpose(y13.reshape(b, d, w, h), (0, 1, 3, 2)).reshape(b, d, l)
     return y02 + y13
 

@@ -560,7 +560,10 @@ def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
             _E, _F, _eh, _G, hb, h_all, h_last, _dub = _ssd_forward_core(
                 dt, u, A, Bc, chunk, tau, h0=h0, reverse=rev, pitch=pitch)
             y = jnp.sum(h_all * Cc[:, None], axis=2)  # (Bb, Db, T)
-        y_ref[:, 0] = y + D_ref[0, 0, :, :] * u
+        # store in the output buffer's dtype (bf16 block mode emits bf16
+        # directly: the model cast this immediately anyway, so values are
+        # bit-identical and the write traffic halves)
+        y_ref[:, 0] = (y + D_ref[0, 0, :, :] * u).astype(y_ref.dtype)
         # residual for the backward: the chunk entry state (the backward
         # recomputes within-chunk quantities from it; storing finer-grained
         # segment states was measured slower -- the (.., R=8)-lane layouts
@@ -669,7 +672,7 @@ def _norm_reverse(reverse, g: int):
 def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
                 reverse=False, pitch: Optional[int] = None,
                 elem_len: Optional[int] = None,
-                tau: Optional[int] = None):
+                tau: Optional[int] = None, out_dtype=None):
     """delta: (Bb, G, dpg, Lp); B/C: (Bb, G, N, Lp); A: (G, dpg, N);
     D/bias: (G, dpg); u: (Bb, G_u, dpg, Lp) where G_u divides G -- group k
     reads u group ``k % G_u`` via its index map, so SS2D's shared forward/
@@ -702,6 +705,7 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
     else:
         assert rev is False and pitch is None and g_u == g, \
             "reverse/packed/shared-u scans require the ssd kernel"
+        out_dtype = None  # the hillis fallback stores fp32
         kernel = functools.partial(_fwd_kernel, l_valid=l_valid, chunk=chunk)
     nd = dpg // dblk
     grid = (nd, g, bb // b_blk, nc)
@@ -741,7 +745,7 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
                          lambda j, gg, b, t: (b, gg, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bb, g, dpg, lp), jnp.float32),
+            jax.ShapeDtypeStruct((bb, g, dpg, lp), out_dtype or jnp.float32),
             st_shape,
             jax.ShapeDtypeStruct((bb, g, dpg, n), jnp.float32),
         ],
@@ -771,6 +775,7 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     st_ref, gy_ref,
                     du_ref, ddt_ref, dB_ref, dC_ref, dA_ref, dbias_ref,
                     dD_ref, dh_scr, dA_scr, dbias_scr, dD_scr,
+                    dB_scr, dC_scr,
                     *, l_valid: int, chunk: int, tau: int,
                     reverse=False, pitch: Optional[int] = None,
                     elem_len: Optional[int] = None):
@@ -808,7 +813,7 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     A = A_ref[0]                                       # (Db, N)
     Bc = B_ref[:, 0].astype(jnp.float32)               # (Bb, N, T)
     Cc = C_ref[:, 0].astype(jnp.float32)
-    gy0 = gy_ref[:, 0]                                 # (Bb, Db, T) fp32
+    gy0 = gy_ref[:, 0].astype(jnp.float32)             # (Bb, Db, T)
     h0 = st_ref[:, 0, 0]                               # (Bb, Db, N)
 
     if pitch is not None and elem_len is not None and elem_len < pitch:
@@ -912,22 +917,30 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
         du_out = dt * dhB + D_ref[0, 0, :, :] * gy
         ddt_raw = (u * dhB + dadt) * sig
 
-        du_ref[:, 0] = du_out
-        ddt_ref[:, 0] = ddt_raw
-        # dB/dC blocks are j-independent: accumulated in VMEM across the
-        # innermost d-block sweep, written once per (group, batch, chunk)
+        du_ref[:, 0] = du_out.astype(du_ref.dtype)
+        ddt_ref[:, 0] = ddt_raw.astype(ddt_ref.dtype)
+        # dB/dC blocks are j-independent: accumulated in fp32 VMEM scratch
+        # across the innermost d-block sweep, written once per (group, batch,
+        # chunk) in the output dtype (bf16 cotangents in bf16 block mode --
+        # same single final rounding the external cast used to apply)
         dbc = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)
         dcc = jnp.sum(h_all * gy[:, :, None, :], axis=1)
+        nd_j = pl.num_programs(3)
 
         @pl.when(j == 0)
         def _():
-            dB_ref[:, 0] = dbc
-            dC_ref[:, 0] = dcc
+            dB_scr[...] = dbc
+            dC_scr[...] = dcc
 
         @pl.when(j > 0)
         def _():
-            dB_ref[:, 0] += dbc
-            dC_ref[:, 0] += dcc
+            dB_scr[...] += dbc
+            dC_scr[...] += dcc
+
+        @pl.when(j == nd_j - 1)
+        def _():
+            dB_ref[:, 0] = dB_scr[...].astype(dB_ref.dtype)
+            dC_ref[:, 0] = dC_scr[...].astype(dC_ref.dtype)
 
         dA_scr[j] += jnp.sum(p2 * dt[:, :, None, :], axis=(0, 3))
         dbias_scr[j] += jnp.sum(ddt_raw, axis=(0, 2))[:, None]
@@ -983,7 +996,7 @@ def _bwd_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     A = A_ref[0]                                       # (D_blk, N)
     Bc = B_ref[:, 0].astype(jnp.float32)               # (B_blk, N, T)
     Cc = C_ref[:, 0].astype(jnp.float32)
-    gy = gy_ref[:, 0]                                  # (B_blk, D_blk, T) fp32
+    gy = gy_ref[:, 0].astype(jnp.float32)              # (B_blk, D_blk, T)
     h0 = st_ref[:, 0, 0]                               # (B_blk, D_blk, N)
 
     cdt = _compute_dtype()
@@ -1037,12 +1050,15 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
                 l_valid: int, reverse=False,
                 pitch: Optional[int] = None,
                 elem_len: Optional[int] = None,
-                tau: Optional[int] = None):
+                tau: Optional[int] = None, grad_dtypes=None):
     bb, g_u, dpg, lp = u.shape
     g = B.shape[1]
     n = A.shape[-1]
     nc = lp // chunk
     rev_mode = _norm_reverse(reverse, g)
+    # du/ddt/dB/dC leave the kernel already in the caller's cotangent dtypes
+    # (grad_dtypes aligns with in_dtypes); fp32 when unspecified
+    gdt = [jnp.dtype(x) for x in (grad_dtypes or ("float32",) * 7)]
 
     def rev(t):
         return nc - 1 - t
@@ -1111,10 +1127,10 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
                              lambda gg, b, t, j: (gg, j, 0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((bb, g, dpg, lp), jnp.float32),
-                jax.ShapeDtypeStruct((bb, g, dpg, lp), jnp.float32),
-                jax.ShapeDtypeStruct((bb, g, n, lp), jnp.float32),
-                jax.ShapeDtypeStruct((bb, g, n, lp), jnp.float32),
+                jax.ShapeDtypeStruct((bb, g, dpg, lp), gdt[0]),
+                jax.ShapeDtypeStruct((bb, g, dpg, lp), gdt[1]),
+                jax.ShapeDtypeStruct((bb, g, n, lp), gdt[3]),
+                jax.ShapeDtypeStruct((bb, g, n, lp), gdt[4]),
                 jax.ShapeDtypeStruct((g, dpg, n), jnp.float32),
                 jax.ShapeDtypeStruct((g, nd, dblk, 1), jnp.float32),
                 jax.ShapeDtypeStruct((g, nd, dblk, 1), jnp.float32),
@@ -1122,7 +1138,9 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
             scratch_shapes=[pltpu.VMEM((nd, b_blk, dblk, n), jnp.float32),
                             pltpu.VMEM((nd, dblk, n), jnp.float32),
                             pltpu.VMEM((nd, dblk, 1), jnp.float32),
-                            pltpu.VMEM((nd, dblk, 1), jnp.float32)],
+                            pltpu.VMEM((nd, dblk, 1), jnp.float32),
+                            pltpu.VMEM((b_blk, n, chunk), jnp.float32),
+                            pltpu.VMEM((b_blk, n, chunk), jnp.float32)],
             # no dimension_semantics: declaring dims parallel was measured
             # ~10% SLOWER here, and every dim carries some accumulation
             interpret=_interpret(),
@@ -1242,36 +1260,44 @@ def _layout(u, delta, A, B, C, D, bias, chunk, u_tile=1):
     return u4, dt4, A3, B4, C4, D2, bias2, l, lp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
 def _scan_core(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False,
-               pitch=None, elem_len=None, tau=None, u_tile=1):
+               pitch=None, elem_len=None, tau=None, u_tile=1, out_dtype=None,
+               valid_len=None):
     (y, _last), _res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
-                                      reverse, pitch, elem_len, tau, u_tile)
+                                      reverse, pitch, elem_len, tau, u_tile,
+                                      out_dtype, valid_len)
     return y
 
 
 def _scan_core_fwd(u, delta, A, B, C, D, bias, chunk, reverse=False,
-                   pitch=None, elem_len=None, tau=None, u_tile=1):
+                   pitch=None, elem_len=None, tau=None, u_tile=1,
+                   out_dtype=None, valid_len=None):
     bb, d, l = delta.shape
     u4, dt4, A3, B4, C4, D2, bias2, l, lp = _layout(
         u, delta, A, B, C, D, bias, chunk, u_tile)
-    y4, states, last = _fwd_pallas(u4, dt4, A3, B4, C4, D2, bias2, chunk, l,
+    y4, states, last = _fwd_pallas(u4, dt4, A3, B4, C4, D2, bias2, chunk,
+                                   valid_len or l,
                                    reverse=reverse, pitch=pitch,
-                                   elem_len=elem_len, tau=tau)
+                                   elem_len=elem_len, tau=tau,
+                                   out_dtype=out_dtype)
     y = y4.reshape(bb, d, lp)[:, :, :l]
     res = (u4, dt4, A3, B4, C4, D2, bias2, states)
     return (y, last.reshape(bb, d, -1)), res
 
 
 def _vjp_fwd(u, delta, A, B, C, D, bias, chunk, in_dtypes, reverse=False,
-             pitch=None, elem_len=None, tau=None, u_tile=1):
+             pitch=None, elem_len=None, tau=None, u_tile=1, out_dtype=None,
+             valid_len=None):
     (y, _last), res = _scan_core_fwd(u, delta, A, B, C, D, bias, chunk,
-                                     reverse, pitch, elem_len, tau, u_tile)
+                                     reverse, pitch, elem_len, tau, u_tile,
+                                     out_dtype, valid_len)
     return y, res
 
 
-def _vjp_bwd(chunk, in_dtypes, reverse, pitch, elem_len, tau, u_tile, res,
-             gy):
+def _vjp_bwd(chunk, in_dtypes, reverse, pitch, elem_len, tau, u_tile,
+             out_dtype, valid_len, res, gy):
     u4, dt4, A3, B4, C4, D2, bias2, states = res
     bb, g, dpg, lp = dt4.shape
     d = g * dpg
@@ -1279,10 +1305,11 @@ def _vjp_bwd(chunk, in_dtypes, reverse, pitch, elem_len, tau, u_tile, res,
     l = gy.shape[-1]
     if lp != l:
         gy = jnp.pad(gy, ((0, 0), (0, 0), (0, lp - l)))
-    gy4 = gy.reshape(bb, g, dpg, lp).astype(jnp.float32)
+    gy4 = gy.reshape(bb, g, dpg, lp)
     du, ddt, dB, dC, dA, dbias, dD = _bwd_pallas(
-        u4, dt4, A3, B4, C4, D2, bias2, states, gy4, chunk, l,
-        reverse=reverse, pitch=pitch, elem_len=elem_len, tau=tau)
+        u4, dt4, A3, B4, C4, D2, bias2, states, gy4, chunk, valid_len or l,
+        reverse=reverse, pitch=pitch, elem_len=elem_len, tau=tau,
+        grad_dtypes=in_dtypes)
     if u_tile > 1:
         # the shared u fed every tiled group: sum their cotangents
         du = du.reshape(bb, u_tile, g // u_tile, dpg, lp).sum(axis=1)
@@ -1313,6 +1340,8 @@ def selective_scan_pallas(
     reverse_dirs: Optional[Tuple[bool, ...]] = None,
     tau: Optional[int] = None,
     u_tile: int = 1,
+    out_dtype=None,
+    valid_len: Optional[int] = None,
 ):
     """Fused selective scan with the MedMamba.py:273-279 call-site contract.
 
@@ -1330,6 +1359,19 @@ def selective_scan_pallas(
     k reads u group ``k % (g // u_tile)`` inside the kernel (no duplicated
     HBM buffer). SS2D uses u_tile=2: directions 2/3 scan the same buffers as
     0/1, just in reverse.
+
+    ``out_dtype``: y's dtype (default float32, the reference scan contract).
+    SS2D passes its block dtype: in bf16 mode the model cast y immediately
+    anyway, so emitting bf16 from the kernel is bit-identical and halves the
+    y write + gy read traffic (grad cotangents likewise leave the kernel in
+    the input dtypes).
+
+    ``valid_len``: the arrays arrive already zero-padded along L to a
+    multiple of the chunk; only the first ``valid_len`` positions are real.
+    The kernel applies its usual last-chunk dt/gy masking at ``valid_len``
+    (pad: decay 1, inject 0) and y returns at the padded length. Lets SS2D
+    pad each stage ONCE instead of the wrapper padding u/dt/B/C separately
+    per call. Mutually exclusive with the short-L packed path.
     """
     if u_tile > 1 and (not delta_softplus or _kernel_impl() != "ssd"):
         # fallback paths have no shared-u index maps: materialize the tile
@@ -1424,6 +1466,11 @@ def selective_scan_pallas(
     reverse = flags if mixed_sorted else bool(flags and all(flags))
     bb = u.shape[0]
     l = u.shape[-1]
+    if valid_len is not None:
+        # pre-padded by less than one chunk: the kernel's last-chunk masking
+        # covers exactly this case (pad chunks beyond it would scan garbage)
+        assert l == _cdiv(valid_len, DEFAULT_CHUNK) * DEFAULT_CHUNK, \
+            f"valid_len={valid_len} needs arrays padded to the next chunk"
     c = _pick_chunk(l, chunk)
     in_dtypes = tuple(str(x.dtype) for x in
                       (u, delta, A, B, C, D, delta_bias))
@@ -1436,7 +1483,8 @@ def selective_scan_pallas(
     # pairwise differences and only feed reset-blocked segment boundaries.
     tau = min(tau or _tau(), c)
     assert c % tau == 0, f"tau={tau} must divide chunk={c}"
-    if (not return_last_state and _kernel_impl() == "ssd"
+    if (valid_len is None and not return_last_state
+            and _kernel_impl() == "ssd"
             and os.environ.get("MEDMAMBA_SCAN_PACK", "1") != "0"):
         p_cand = _cdiv(l, tau) * tau
         if p_cand < c and c % p_cand == 0 and bb % (c // p_cand) == 0:
@@ -1453,16 +1501,17 @@ def selective_scan_pallas(
             y = _scan_core(pack(u), pack(delta),
                            jnp.asarray(A, jnp.float32), pack(B), pack(C),
                            D, delta_bias, c, in_dtypes, reverse, pitch, l,
-                           tau, u_tile)
+                           tau, u_tile, out_dtype)
             y = y.reshape(y.shape[:-1] + (npack, pitch))
             y = jnp.moveaxis(y, -2, 1)
             return y.reshape((bb,) + y.shape[2:])[..., :l]
 
     if return_last_state:
+        assert valid_len is None, "valid_len + return_last_state unsupported"
         (y, last), _ = _scan_core_fwd(u, delta, jnp.asarray(A, jnp.float32),
                                       B, C, D, delta_bias, c, reverse,
                                       tau=tau, u_tile=u_tile)
         return y, last
     return _scan_core(u, delta, jnp.asarray(A, jnp.float32), B, C, D,
                       delta_bias, c, in_dtypes, reverse, None, None, tau,
-                      u_tile)
+                      u_tile, out_dtype, valid_len)

@@ -234,6 +234,8 @@ def selective_scan(
     reverse_dirs=None,
     tau: Optional[int] = None,
     u_tile: int = 1,
+    out_dtype=None,
+    valid_len: Optional[int] = None,
 ):
     """Public selective scan with the reference call-site contract (MedMamba.py:273-279).
 
@@ -257,7 +259,20 @@ def selective_scan(
     reads u group ``k % (g // u_tile)`` (the Pallas kernel does this through
     its index maps with no duplicated HBM buffer; other impls materialize
     the tile). SS2D passes its shared forward/reverse buffers once (u_tile=2).
+
+    out_dtype: y's dtype on the Pallas path (default float32, the reference
+    contract; emitting the model's block dtype directly is bit-identical to
+    casting after and halves y/gy HBM traffic). Non-Pallas impls return
+    fp32 and the caller's cast applies as before.
+
+    valid_len: arrays arrive pre-padded along L to the next multiple of the
+    kernel chunk; positions >= valid_len are pad (decay 1 / inject 0, y
+    returned at padded length). The Pallas kernel masks natively; other
+    impls force the padded delta to -1e4 pre-softplus (dt = 0 exactly), so
+    pad positions carry state unchanged in either scan direction.
     """
+    if valid_len is not None:
+        assert delta_softplus, "valid_len requires delta_softplus semantics"
     if impl == "auto":
         try:
             on_tpu = jax.default_backend() == "tpu"
@@ -286,7 +301,8 @@ def selective_scan(
                 partial(selective_scan_pallas,
                         delta_softplus=delta_softplus,
                         return_last_state=return_last_state,
-                        reverse_dirs=rflags, tau=tau, u_tile=u_tile),
+                        reverse_dirs=rflags, tau=tau, u_tile=u_tile,
+                        out_dtype=out_dtype, valid_len=valid_len),
                 mesh=mesh,
                 in_specs=(dp, dp, rep, dp, dp, rep, rep),
                 out_specs=(dp, dp) if return_last_state else dp,
@@ -304,10 +320,17 @@ def selective_scan(
             reverse_dirs=rflags,
             tau=tau,
             u_tile=u_tile,
+            out_dtype=out_dtype,
+            valid_len=valid_len,
         )
     if u_tile > 1:
         # non-Pallas impls have no shared-u indexing: materialize the tile
         u = jnp.concatenate([u] * u_tile, axis=1)
+    if valid_len is not None and valid_len < u.shape[-1]:
+        # force dt = softplus(-1e4 + bias) = 0 at pad positions: state passes
+        # through unchanged whichever direction scans them first
+        pos = jnp.arange(u.shape[-1])
+        delta = jnp.where(pos[None, None, :] < valid_len, delta, -1e4)
     fn = IMPLS[impl]
     if impl == "stub":
         # the stub is an elementwise no-op (y = D*u): flip + unflip would be

@@ -358,3 +358,90 @@ def test_pallas_shared_u_tile_matches_materialized(l):
                             g_t, g_m):
         np.testing.assert_allclose(np.asarray(gt), np.asarray(gm),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_pallas_out_dtype_bf16_bit_identical_to_external_cast():
+    """out_dtype=bf16 (kernel emits the block dtype) must equal computing
+    fp32 then casting -- the values pass through one identical rounding
+    either way. Cotangent dtypes follow the bf16 inputs in both cases."""
+    rng = np.random.default_rng(31)
+    u, delta, A, B, C, D, bias = _mk(rng, b=2, d=16, n=8, l=96)
+    ub = jnp.asarray(u).astype(jnp.bfloat16)
+    db = jnp.asarray(delta).astype(jnp.bfloat16)
+    Bb_ = jnp.asarray(B).astype(jnp.bfloat16)
+    Cb = jnp.asarray(C).astype(jnp.bfloat16)
+    args = (ub, db, jnp.asarray(A), Bb_, Cb, jnp.asarray(D),
+            jnp.asarray(bias))
+
+    def direct(a):
+        return selective_scan(a[0], a[1], a[2], a[3], a[4], a[5],
+                              delta_bias=a[6], delta_softplus=True,
+                              impl="pallas", out_dtype=jnp.bfloat16)
+
+    def cast_after(a):
+        y = selective_scan(a[0], a[1], a[2], a[3], a[4], a[5],
+                           delta_bias=a[6], delta_softplus=True,
+                           impl="pallas")
+        return y.astype(jnp.bfloat16)
+
+    y_d, y_c = direct(args), cast_after(args)
+    assert y_d.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(y_d, np.float32),
+                                  np.asarray(y_c, np.float32))
+    gyw = jnp.asarray(rng.standard_normal((2, 16, 96)).astype(np.float32))
+    g_d = jax.grad(lambda a: jnp.sum(direct(a).astype(jnp.float32) * gyw))(
+        args)
+    g_c = jax.grad(lambda a: jnp.sum(cast_after(a).astype(jnp.float32)
+                                     * gyw))(args)
+    for name, gd, gc in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_d, g_c):
+        assert gd.dtype == gc.dtype, name
+        # same math, one rounding point moved inside the kernel: tiny diffs
+        np.testing.assert_allclose(np.asarray(gd, np.float32),
+                                   np.asarray(gc, np.float32),
+                                   rtol=2e-2, atol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("impl", ["assoc", "pallas"])
+def test_valid_len_prepadded_matches_unpadded(impl):
+    """Pre-padded arrays + valid_len must equal scanning the unpadded arrays
+    (the wrapper's own padding), forward and reverse directions, fwd + grad."""
+    rng = np.random.default_rng(41)
+    l, lp = 200, 256
+    u, delta, A, B, C, D, bias = _mk(rng, b=2, d=16, n=8, l=l)
+
+    def padl(x):
+        return jnp.pad(jnp.asarray(x), ((0, 0),) * (x.ndim - 1)
+                       + ((0, lp - l),))
+
+    flags = (False, False, True, True)
+    args_p = (padl(u), padl(delta), jnp.asarray(A), padl(B), padl(C),
+              jnp.asarray(D), jnp.asarray(bias))
+    args_u = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+
+    def padded(a):
+        y = selective_scan(a[0], a[1], a[2], a[3], a[4], a[5],
+                           delta_bias=a[6], delta_softplus=True, impl=impl,
+                           reverse_dirs=flags, valid_len=l)
+        return y[..., :l]
+
+    def unpadded(a):
+        return selective_scan(a[0], a[1], a[2], a[3], a[4], a[5],
+                              delta_bias=a[6], delta_softplus=True,
+                              impl=impl, reverse_dirs=flags)
+
+    np.testing.assert_allclose(np.asarray(padded(args_p)),
+                               np.asarray(unpadded(args_u)),
+                               rtol=1e-5, atol=1e-5)
+    gyw = jnp.asarray(rng.standard_normal((2, 16, l)).astype(np.float32))
+    g_p = jax.grad(lambda a: jnp.sum(padded(a) * gyw))(args_p)
+    g_u = jax.grad(lambda a: jnp.sum(unpadded(a) * gyw))(args_u)
+    for name, gp, gu in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_p, g_u):
+        gp = np.asarray(gp)
+        if gp.ndim and gp.shape[-1] == lp:
+            # pad-position cotangents must be exactly zero
+            np.testing.assert_array_equal(gp[..., l:], 0.0)
+            gp = gp[..., :l]
+        np.testing.assert_allclose(gp, np.asarray(gu), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
