@@ -72,6 +72,12 @@ def main():
     # N steps inside ONE jitted fori_loop: a single dispatch + single sync, so
     # host<->device round-trip latency (large through a remote TPU tunnel) is
     # paid once, and difference timing cancels even that.
+    # BENCH_DISPATCH=async instead issues N individual jitted steps without
+    # waiting (the production train-loop shape): dispatches pipeline through
+    # the tunnel and one final sync closes the batch -- measures whether the
+    # fori_loop's device-side "while" bookkeeping is a harness artifact.
+    dispatch = os.environ.get("BENCH_DISPATCH", "fori")
+
     @functools.partial(jax.jit, donate_argnames=("s",))
     def run_n(s, n):  # n is a traced scalar -> one compile for any step count
         def body(i, carry):
@@ -80,6 +86,17 @@ def main():
             return (st, loss)
         return jax.lax.fori_loop(0, n, body, (s, jnp.zeros((), jnp.float32)),
                                  unroll=False)
+
+    @functools.partial(jax.jit, donate_argnames=("s",))
+    def one_step(s):
+        return train_step(s, images, labels, key, augment=True)
+
+    if dispatch == "async":
+        def run_n(s, n):  # noqa: F811 -- same contract, per-step dispatch
+            loss = None
+            for _ in range(int(n)):
+                s, loss = one_step(s)
+            return s, loss
 
     state, loss = run_n(state, warmup)  # compile + warmup
     float(loss)

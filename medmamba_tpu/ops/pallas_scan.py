@@ -1402,6 +1402,12 @@ def selective_scan_pallas(
     if flags and any(flags) and _kernel_impl() != "ssd":
         # the hillis fallback kernel has no native reverse path: flip
         from medmamba_tpu.ops.selective_scan import _flip_group_seqs, _flip_y
+        if valid_len is not None:
+            # mask BEFORE flipping: the pad (tail here, front after the flip
+            # for flagged groups) must carry dt = 0 in either position
+            pos = jnp.arange(u.shape[-1])
+            delta = jnp.where(pos[None, None, :] < valid_len, delta, -1e4)
+            valid_len = None
         u, delta, B, C = _flip_group_seqs(u, delta, B, C, flags)
         out = selective_scan_pallas(u, delta, A, B, C, D,
                                     delta_bias=delta_bias, delta_softplus=True,
@@ -1442,7 +1448,8 @@ def selective_scan_pallas(
             return selective_scan_pallas(
                 *args, delta_softplus=True,
                 return_last_state=return_last_state, chunk=chunk,
-                reverse_dirs=(rev_flag,) * len(sel), tau=tau)
+                reverse_dirs=(rev_flag,) * len(sel), tau=tau,
+                valid_len=valid_len)
 
         out_f = pick(fw, False)
         out_r = pick(rv, True)

@@ -445,3 +445,33 @@ def test_valid_len_prepadded_matches_unpadded(impl):
             gp = gp[..., :l]
         np.testing.assert_allclose(gp, np.asarray(gu), rtol=1e-4,
                                    atol=1e-5, err_msg=name)
+
+
+def test_valid_len_hillis_fallback(monkeypatch):
+    """The hillis fallback kernel realizes reverse_dirs by flipping, which
+    moves the pad to the sequence FRONT for flagged groups: valid_len must
+    force dt = 0 there BEFORE the flip (regression: the recursion used to
+    drop valid_len entirely)."""
+    from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+    from medmamba_tpu.ops.selective_scan import _flip_group_seqs, _flip_y
+    monkeypatch.setenv("MEDMAMBA_SCAN_KERNEL", "hillis")
+
+    rng = np.random.default_rng(51)
+    l, lp = 200, 256
+    u, delta, A, B, C, D, bias = _mk(rng, b=2, d=16, n=8, l=l)
+
+    def padl(x):
+        return jnp.pad(jnp.asarray(x), ((0, 0),) * (x.ndim - 1)
+                       + ((0, lp - l),))
+
+    flags = (False, False, True, True)
+    y_h = selective_scan_pallas(
+        padl(u), padl(delta), jnp.asarray(A), padl(B), padl(C),
+        jnp.asarray(D), delta_bias=jnp.asarray(bias), delta_softplus=True,
+        reverse_dirs=flags, valid_len=l)[..., :l]
+    uf, df, Bf, Cf = _flip_group_seqs(jnp.asarray(u), jnp.asarray(delta),
+                                      jnp.asarray(B), jnp.asarray(C), flags)
+    y_r = _flip_y(selective_scan_assoc(uf, df, A, Bf, Cf, D, delta_bias=bias,
+                                       delta_softplus=True), 4, flags)
+    np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_r),
+                               rtol=1e-3, atol=3e-3)
