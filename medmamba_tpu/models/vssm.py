@@ -250,6 +250,10 @@ class SS2D(nn.Module):
         reductions and only runs when the ``scan_stats`` collection is
         mutable (calibration passes), never in the training step.
         """
+        if dts.shape[-1] == 0:
+            # degenerate stage (spatial extent exhausted, e.g. tiny test
+            # configs): nothing to measure; the selector's floor applies
+            return
         dt = jax.nn.softplus(dts.astype(jnp.float32)
                              + bias2.astype(jnp.float32)[None, :, :, None])
         if valid_len is not None and valid_len < dt.shape[-1]:

@@ -326,7 +326,8 @@ def selective_scan(
     if u_tile > 1:
         # non-Pallas impls have no shared-u indexing: materialize the tile
         u = jnp.concatenate([u] * u_tile, axis=1)
-    if valid_len is not None and valid_len < u.shape[-1]:
+    if (valid_len is not None and valid_len < u.shape[-1]
+            and impl != "stub"):  # the stub never reads delta
         # force dt = softplus(-1e4 + bias) = 0 at pad positions: state passes
         # through unchanged whichever direction scans them first
         pos = jnp.arange(u.shape[-1])
