@@ -69,6 +69,43 @@ def main():
 
     import functools
 
+    if os.environ.get("BENCH_MODE") == "infer":
+        # serving-side metric: forward-only (eval-preprocessed, deterministic)
+        from medmamba_tpu.data.transforms import preprocess
+
+        @jax.jit
+        def infer_n(p, bs, im, n):
+            x = preprocess(jax.random.key(0), im, size=224, augment=False)
+
+            def body(i, acc):
+                # chain iterations through the input so XLA cannot hoist the
+                # loop-invariant forward out of the loop
+                xi = x * (1.0 + acc * 1e-12).astype(x.dtype)
+                logits = model.apply({"params": p, "batch_stats": bs}, xi,
+                                     True)
+                return jnp.sum(logits.astype(jnp.float32)) * 1e-9
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
+
+        float(infer_n(state.params, state.batch_stats, images, warmup))
+        import time as _t
+        t0 = _t.perf_counter()
+        float(infer_n(state.params, state.batch_stats, images, 2))
+        ts = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        float(infer_n(state.params, state.batch_stats, images, 2 + steps))
+        tb = _t.perf_counter() - t0
+        ips = steps * batch / max(tb - ts, 1e-9) / len(jax.devices())
+        print(json.dumps({
+            "metric": f"images/sec/chip, medmamba_{size.lower()} INFER "
+                      "224x224 bf16",
+            "value": round(ips, 2), "unit": "img/s/chip",
+            "vs_baseline": None,
+            "extra": {"batch": batch,
+                      "scan_tau": (list(taus) if isinstance(taus, tuple)
+                                   else taus)}}))
+        return
+
     # N steps inside ONE jitted fori_loop: a single dispatch + single sync, so
     # host<->device round-trip latency (large through a remote TPU tunnel) is
     # paid once, and difference timing cancels even that.
