@@ -34,6 +34,7 @@ _SLOW = {
     "test_graft_entry_dryrun", "test_tp_partitioned_params_step",
     "test_dp_train_step_on_mesh_matches_single_device",
     "test_pallas_kernel_shard_mapped_over_mesh",
+    "test_pallas_kernel_shards_batch_over_model_axis_too",
     "test_training_determinism", "test_checkpoint_roundtrip",
     "test_train_loss_decreases_and_eval",
     "test_vssm_seg_forward",
