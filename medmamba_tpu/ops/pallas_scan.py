@@ -1449,7 +1449,7 @@ def selective_scan_pallas(
                 *args, delta_softplus=True,
                 return_last_state=return_last_state, chunk=chunk,
                 reverse_dirs=(rev_flag,) * len(sel), tau=tau,
-                valid_len=valid_len)
+                out_dtype=out_dtype, valid_len=valid_len)
 
         out_f = pick(fw, False)
         out_r = pick(rv, True)

@@ -22,6 +22,7 @@ is a TPU-specific optimization with a safety gate, not a parity surface.
 """
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -36,6 +37,33 @@ log = logging.getLogger("medmamba_tpu.tau_select")
 SAFE_FLOOR = 16  # always-exact default segment length
 
 
+@functools.lru_cache(maxsize=4)
+def _calib_fn(calib_model):
+    """The jitted calibration forward, cached on the (canonical) model.
+
+    Cached so the per-epoch recalibration reuses one XLA executable instead
+    of recompiling the full VSSM forward every epoch (jax.jit caches per
+    wrapper instance; flax modules are frozen dataclasses, so equal clones
+    hit the lru_cache).
+    """
+
+    @jax.jit
+    def calib(p, bs, x, key):
+        # deterministic=False: BatchNorm must normalize with BATCH statistics
+        # -- the same mode the gated training steps run in. Calibrating on
+        # running averages (eval mode) measures a different activation
+        # distribution (at epoch 1 the init defaults: mean 0 / var 1) and can
+        # understate training-time |A|*seg_sum(dt). The stats update itself is
+        # discarded; dropout/drop-path draw from a fixed key.
+        _, stats = calib_model.apply(
+            {"params": p, "batch_stats": bs}, x, False,
+            rngs={"dropout": key},
+            mutable=["scan_stats", "batch_stats"])
+        return stats["scan_stats"]
+
+    return calib
+
+
 def measure_seg_budgets(model, params, batch_stats,
                         images) -> Dict[int, np.ndarray]:
     """One calibration forward; returns per-stage max |A|*seg_sum(dt).
@@ -44,19 +72,17 @@ def measure_seg_budgets(model, params, batch_stats,
     {stage_index: (len(SCAN_TAU_CANDIDATES),) array} -- the max over every
     SS2D block, direction, channel and tau-aligned segment in that stage.
     """
-    calib_model = model
-    if getattr(model, "use_checkpoint", False):
-        # sow-through-remat is not load-bearing anywhere else; calibrate on a
-        # plain clone (same params) to keep the variable plumbing simple
-        calib_model = model.clone(use_checkpoint=False)
+    # Canonical calibration clone: the sown budgets depend on the activations
+    # feeding each stage, not on the kernel's segmentation, so calibrate at
+    # the always-exact floor tau (stage-1 inexactness would otherwise leak
+    # into later stages' measured dt) -- and keep the clone identical across
+    # recalibrations so the jit cache holds as taus change epoch to epoch.
+    # (sow-through-remat is not load-bearing anywhere else; use_checkpoint
+    # stays off to keep the variable plumbing simple.)
+    calib_model = model.clone(use_checkpoint=False, scan_tau=SAFE_FLOOR)
 
-    @jax.jit
-    def calib(p, bs, x):
-        _, stats = calib_model.apply({"params": p, "batch_stats": bs}, x,
-                                     True, mutable=["scan_stats"])
-        return stats["scan_stats"]
-
-    stats = calib(params, batch_stats, images)
+    stats = _calib_fn(calib_model)(params, batch_stats, images,
+                                   jax.random.key(0))
     leaves = jax.tree_util.tree_flatten_with_path(jax.device_get(stats))[0]
     out: Dict[int, np.ndarray] = {}
     for path, leaf in leaves:

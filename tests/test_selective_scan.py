@@ -475,3 +475,26 @@ def test_valid_len_hillis_fallback(monkeypatch):
                                        delta_softplus=True), 4, flags)
     np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_r),
                                rtol=1e-3, atol=3e-3)
+
+
+def test_pallas_out_dtype_respected_on_interleaved_directions():
+    """The arbitrarily-interleaved reverse_dirs pattern takes the two-call
+    split path inside selective_scan_pallas; it must forward out_dtype so
+    the documented dtype contract holds there too (round-3 review finding)."""
+    rng = np.random.default_rng(37)
+    u, delta, A, B, C, D, bias = _mk(rng, b=2, d=16, n=8, l=96, g=4)
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    interleaved = (False, True, False, True)  # not a False-prefix pattern
+
+    y = selective_scan(args[0], args[1], args[2], args[3], args[4], args[5],
+                       delta_bias=args[6], delta_softplus=True,
+                       impl="pallas", reverse_dirs=interleaved,
+                       out_dtype=jnp.bfloat16)
+    assert y.dtype == jnp.bfloat16
+    y32 = selective_scan(args[0], args[1], args[2], args[3], args[4],
+                         args[5], delta_bias=args[6], delta_softplus=True,
+                         impl="pallas", reverse_dirs=interleaved)
+    assert y32.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(y, np.float32),
+                                  np.asarray(y32.astype(jnp.bfloat16),
+                                             np.float32))

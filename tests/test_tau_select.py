@@ -99,3 +99,37 @@ def test_model_scan_tau_is_static_config():
     y64 = m64.apply({"params": params, "batch_stats": bs}, x, True)
     # assoc impl ignores tau: numerics identical, proving param compatibility
     np.testing.assert_allclose(np.asarray(y16), np.asarray(y64), atol=1e-6)
+
+
+def test_calibration_uses_batch_statistics_not_running_averages():
+    """The budgets gate TRAINING steps, which run BatchNorm on batch stats;
+    calibration must measure the same activation distribution. Pin this by
+    poisoning the running averages: batch-stats-mode budgets are invariant,
+    eval-mode budgets would not be (round-3 review finding)."""
+    model = _tiny_model()
+    params, bs = _init(model)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32))
+    clean = measure_seg_budgets(model, params, bs, x)
+    poisoned = jax.tree_util.tree_map_with_path(
+        lambda p, v: (jnp.full_like(v, 1e6)
+                      if any(getattr(k, "key", None) == "var" for k in p)
+                      else v), bs)
+    dirty = measure_seg_budgets(model, params, poisoned, x)
+    for s in clean:
+        np.testing.assert_allclose(dirty[s], clean[s], rtol=1e-5)
+
+
+def test_calibration_jit_is_cached_across_recalibrations():
+    """Per-epoch recalibration must reuse one XLA executable: equal canonical
+    clones (whatever tau the live model currently runs) hit the lru cache."""
+    from medmamba_tpu.train.tau_select import _calib_fn
+
+    model = _tiny_model()
+    params, bs = _init(model)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    before = _calib_fn.cache_info().hits
+    measure_seg_budgets(model, params, bs, x)
+    measure_seg_budgets(model.clone(scan_tau=(64, 16)), params, bs, x)
+    measure_seg_budgets(model.clone(scan_tau=(128, 64)), params, bs, x)
+    assert _calib_fn.cache_info().hits >= before + 2
