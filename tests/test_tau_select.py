@@ -133,3 +133,13 @@ def test_calibration_jit_is_cached_across_recalibrations():
     measure_seg_budgets(model.clone(scan_tau=(64, 16)), params, bs, x)
     measure_seg_budgets(model.clone(scan_tau=(128, 64)), params, bs, x)
     assert _calib_fn.cache_info().hits >= before + 2
+
+
+def test_calibration_handles_remat_model():
+    """use_checkpoint=True models calibrate via the canonical plain clone
+    (sow-through-remat never has to work)."""
+    model = _tiny_model(use_checkpoint=True)
+    params, bs = _init(model)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    budgets = measure_seg_budgets(model, params, bs, x)
+    assert set(budgets) == {0, 1}
