@@ -66,12 +66,27 @@ def build_app(args):
         if class_indices else {}
     name_to_idx = {str(k): int(v) for k, v in class_indices.items()}
     model = create_model(args.medmb_size, num_classes)
+    if getattr(args, "scan_tau", "auto") != "auto":
+        model = model.clone(scan_tau=int(args.scan_tau))
     variables = {"params": tree["params"],
                  "batch_stats": tree.get("batch_stats", {})}
 
-    @jax.jit
-    def forward(variables, x):
-        return jax.nn.softmax(model.apply(variables, x, True), -1)
+    # The served model lives in a holder: on TPU with --scan_tau auto the
+    # FIRST request calibrates the scan segment length in eval mode on that
+    # request's own image (tau=chunk halves scan latency vs the tau=16
+    # floor; a frozen checkpoint usually admits it). margin 0.8 covers
+    # image-to-image drift of the measured budgets.
+    holder = {"model": model,
+              "calibrated": not (getattr(args, "scan_tau", "auto") == "auto"
+                                 and jax.default_backend() == "tpu")}
+
+    def _make_forward(m):
+        @jax.jit
+        def forward(variables, x):
+            return jax.nn.softmax(m.apply(variables, x, True), -1)
+        return forward
+
+    holder["forward"] = _make_forward(model)
 
     def infer(img_bytes: bytes, target: int):
         img = Image.open(io.BytesIO(img_bytes)).convert("RGB").resize(
@@ -79,10 +94,22 @@ def build_app(args):
         arr = np.asarray(img, np.uint8)[None]
         x = preprocess(jax.random.key(0), jnp.asarray(arr),
                        size=args.image_size, augment=False)
-        probs = np.asarray(forward(variables, x))[0]
+        if not holder["calibrated"]:
+            from medmamba_tpu.train.tau_select import select_scan_tau
+
+            taus = select_scan_tau(holder["model"], variables["params"],
+                                   variables["batch_stats"], x,
+                                   image_size=args.image_size, margin=0.8,
+                                   train_mode=False)
+            holder["model"] = holder["model"].clone(scan_tau=taus)
+            holder["forward"] = _make_forward(holder["model"])
+            holder["calibrated"] = True
+            print(f"scan tau (serving auto-selection): {taus}")
+        probs = np.asarray(holder["forward"](variables, x))[0]
         pred = int(probs.argmax())
         tc = pred if target < 0 else int(target)
-        cam = grad_cam(model, variables, x, target_class=np.array([tc]))[0]
+        cam = grad_cam(holder["model"], variables, x,
+                       target_class=np.array([tc]))[0]
         overlay = show_cam_on_image(np.asarray(img, np.float32) / 255.0, cam)
         return img, overlay, probs, pred, tc
 
@@ -147,12 +174,17 @@ def _parse_multipart(body: bytes, content_type: str):
     return image, target
 
 
-def main(argv=None):
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint_path", required=True)
     p.add_argument("--medmb_size", default="T", choices=["T", "S", "B", "Te"])
     p.add_argument("--num_classes", type=int, default=None)
     p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--scan_tau", type=str, default="auto",
+                   choices=["auto", "16", "32", "64", "128"],
+                   help="Scan segment length for the served forwards (same "
+                        "dial as the train CLI). 'auto' calibrates on the "
+                        "first request's image on TPU; a number forces it.")
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--host", type=str, default="127.0.0.1",
                    help="bind address (default loopback; pass 0.0.0.0 "
@@ -161,7 +193,11 @@ def main(argv=None):
                    help="class-folder tree for the random-image source; "
                         "fixed at launch (clients cannot request arbitrary "
                         "filesystem paths)")
-    args = p.parse_args(argv)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
 
     infer, render, class_of = build_app(args)
     random_form = (RANDOM_FORM.format(test_dir=args.test_dir)

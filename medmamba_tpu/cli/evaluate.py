@@ -26,6 +26,12 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--plot", type=str, default=None)
+    p.add_argument("--scan_tau", type=str, default="auto",
+                   choices=["auto", "16", "32", "64", "128"],
+                   help="Scan kernel segment length for the eval forwards "
+                        "(same dial as the train CLI). 'auto' calibrates on "
+                        "the first batch in eval mode on TPU; a number "
+                        "forces it.")
     p.add_argument("--imagenet_preproc", action="store_true", default=False,
                    help="Resize(256)+CenterCrop(224)+ImageNet mean/std, the "
                         "recipe of the reference ConfusionMatrix driver "
@@ -61,8 +67,7 @@ def main(argv=None):
     imagenet_mean = jnp.asarray([0.485, 0.456, 0.406])
     imagenet_std = jnp.asarray([0.229, 0.224, 0.225])
 
-    @jax.jit
-    def forward(images):
+    def prep(images):
         if args.imagenet_preproc:
             # Resize(256) + CenterCrop(224) + ImageNet normalize
             b, h, w, c = images.shape
@@ -74,7 +79,32 @@ def main(argv=None):
         else:
             x = preprocess(jax.random.key(0), images, size=args.image_size,
                            augment=False)
-        return jax.nn.softmax(model.apply(variables, x, True), -1)
+        return x
+
+    if args.scan_tau != "auto":
+        model = model.clone(scan_tau=int(args.scan_tau))
+    elif jax.default_backend() == "tpu":
+        # Serving-side scan-tau selection: trained checkpoints usually admit
+        # large tau (tau=chunk halves the scan's forward cost vs the tau=16
+        # floor). Calibrate in EVAL mode (running-average BatchNorm -- the
+        # distribution these forwards actually run in) on the first batch;
+        # margin 0.8 since that batch samples the stream.
+        from medmamba_tpu.train.tau_select import select_scan_tau
+
+        for images, _ in BatchLoader(ds, args.batch_size,
+                                     shuffle=False).epoch(0):
+            x0 = jax.jit(prep)(jnp.asarray(images))
+            taus = select_scan_tau(model, variables["params"],
+                                   variables["batch_stats"], x0,
+                                   image_size=args.image_size, margin=0.8,
+                                   train_mode=False)
+            model = model.clone(scan_tau=taus)
+            print(f"scan tau (serving auto-selection): {taus}")
+            break
+
+    @jax.jit
+    def forward(images):
+        return jax.nn.softmax(model.apply(variables, prep(images), True), -1)
 
     cm = ConfusionMatrix(num_classes, labels=labels)
     loader = BatchLoader(ds, args.batch_size, shuffle=False)

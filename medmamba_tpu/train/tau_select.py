@@ -38,7 +38,7 @@ SAFE_FLOOR = 16  # always-exact default segment length
 
 
 @functools.lru_cache(maxsize=4)
-def _calib_fn(calib_model):
+def _calib_fn(calib_model, train_mode: bool):
     """The jitted calibration forward, cached on the (canonical) model.
 
     Cached so the per-epoch recalibration reuses one XLA executable instead
@@ -49,28 +49,36 @@ def _calib_fn(calib_model):
 
     @jax.jit
     def calib(p, bs, x, key):
-        # deterministic=False: BatchNorm must normalize with BATCH statistics
-        # -- the same mode the gated training steps run in. Calibrating on
-        # running averages (eval mode) measures a different activation
-        # distribution (at epoch 1 the init defaults: mean 0 / var 1) and can
-        # understate training-time |A|*seg_sum(dt). The stats update itself is
-        # discarded; dropout/drop-path draw from a fixed key.
-        _, stats = calib_model.apply(
-            {"params": p, "batch_stats": bs}, x, False,
-            rngs={"dropout": key},
-            mutable=["scan_stats", "batch_stats"])
+        # The calibration must run in the SAME mode as the forwards it gates:
+        # train_mode=True -> BatchNorm normalizes with BATCH statistics (what
+        # training steps see; calibrating on running averages -- at epoch 1
+        # the init defaults mean 0 / var 1 -- can understate training-time
+        # |A|*seg_sum(dt)); the stats update itself is discarded and
+        # dropout/drop-path draw from a fixed key. train_mode=False ->
+        # running averages + no dropout, the exact serving distribution
+        # (checkpoint-load-time selection in the evaluate/demo CLIs).
+        if train_mode:
+            _, stats = calib_model.apply(
+                {"params": p, "batch_stats": bs}, x, False,
+                rngs={"dropout": key},
+                mutable=["scan_stats", "batch_stats"])
+        else:
+            _, stats = calib_model.apply(
+                {"params": p, "batch_stats": bs}, x, True,
+                mutable=["scan_stats"])
         return stats["scan_stats"]
 
     return calib
 
 
-def measure_seg_budgets(model, params, batch_stats,
-                        images) -> Dict[int, np.ndarray]:
+def measure_seg_budgets(model, params, batch_stats, images, *,
+                        train_mode: bool = True) -> Dict[int, np.ndarray]:
     """One calibration forward; returns per-stage max |A|*seg_sum(dt).
 
     ``images``: a preprocessed (B, H, W, 3) float batch. Returns
     {stage_index: (len(SCAN_TAU_CANDIDATES),) array} -- the max over every
     SS2D block, direction, channel and tau-aligned segment in that stage.
+    ``train_mode``: match the mode of the gated forwards (see _calib_fn).
     """
     # Canonical calibration clone: the sown budgets depend on the activations
     # feeding each stage, not on the kernel's segmentation, so calibrate at
@@ -81,8 +89,8 @@ def measure_seg_budgets(model, params, batch_stats,
     # stays off to keep the variable plumbing simple.)
     calib_model = model.clone(use_checkpoint=False, scan_tau=SAFE_FLOOR)
 
-    stats = _calib_fn(calib_model)(params, batch_stats, images,
-                                   jax.random.key(0))
+    stats = _calib_fn(calib_model, train_mode)(params, batch_stats, images,
+                                               jax.random.key(0))
     leaves = jax.tree_util.tree_flatten_with_path(jax.device_get(stats))[0]
     out: Dict[int, np.ndarray] = {}
     for path, leaf in leaves:
@@ -131,14 +139,20 @@ def _packing_cap(seq_len: int, chunk: int = DEFAULT_CHUNK) -> int:
 
 def select_scan_tau(model, params, batch_stats, images, *,
                     image_size: int = 224, margin: float = 0.9,
-                    num_stages: Optional[int] = None) -> Tuple[int, ...]:
+                    num_stages: Optional[int] = None,
+                    train_mode: bool = True) -> Tuple[int, ...]:
     """Pick the per-stage tau: largest candidate inside the clip budget.
 
     margin: fraction of the exactness bound 2*CLIP a segment may use; the
     headroom absorbs drift between recalibrations (the CLI recalibrates every
     epoch and drops tau the moment a measurement exceeds the margin).
+    train_mode: calibrate under training-mode (batch-stats) or serving-mode
+    (running-average) BatchNorm -- pass False when gating inference forwards
+    on a frozen checkpoint (the evaluate/demo CLIs use margin 0.8 there: the
+    calibration batch is a sample, not the full stream).
     """
-    budgets = measure_seg_budgets(model, params, batch_stats, images)
+    budgets = measure_seg_budgets(model, params, batch_stats, images,
+                                  train_mode=train_mode)
     if num_stages is None:
         num_stages = (len(model.depths) if hasattr(model, "depths")
                       else (max(budgets) + 1 if budgets else 0))

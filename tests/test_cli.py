@@ -53,3 +53,19 @@ def test_npz_autodetection(tmp_path):
     np.save(tmp_path / "train_labels.npy", np.zeros((2, 1), np.int64))
     assert is_npz_dir(str(tmp_path), "train")
     assert not is_npz_dir(str(tmp_path), "val")
+
+
+def test_serving_scan_tau_flags():
+    """evaluate/demo expose the same --scan_tau dial as train (round-3
+    serving-side tau selection); default auto, numbers force."""
+    from medmamba_tpu.cli.demo import parse_args as demo_args
+
+    a = eval_args(["--checkpoint_path", "/c", "--data_dir", "/d"])
+    assert a.scan_tau == "auto"
+    a = eval_args(["--checkpoint_path", "/c", "--data_dir", "/d",
+                   "--scan_tau", "128"])
+    assert a.scan_tau == "128"
+    d = demo_args(["--checkpoint_path", "/c"])
+    assert d.scan_tau == "auto"
+    d = demo_args(["--checkpoint_path", "/c", "--scan_tau", "64"])
+    assert d.scan_tau == "64"

@@ -143,3 +143,23 @@ def test_calibration_handles_remat_model():
     x = jnp.zeros((2, 32, 32, 3), jnp.float32)
     budgets = measure_seg_budgets(model, params, bs, x)
     assert set(budgets) == {0, 1}
+
+
+def test_eval_mode_calibration_is_deterministic_forward():
+    """Serving-side selection (train_mode=False) gates EVAL forwards: the
+    calibration must run with deterministic=True -- DropPath is identity
+    regardless of rate (the same flag drives running-average BatchNorm).
+    Train-mode calibration at rate 0.9 would zero most residual branches and
+    produce very different budgets; eval-mode budgets must be rate-invariant.
+    (Running-stats sensitivity can't pin the mode here: downstream LayerNorms
+    wash BN-scale perturbations out of the measured dt.)"""
+    model = _tiny_model()
+    params, bs = _init(model)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32))
+    clean = measure_seg_budgets(model, params, bs, x, train_mode=False)
+    assert set(clean) == {0, 1}
+    spicy = measure_seg_budgets(model.clone(drop_path_rate=0.9), params, bs,
+                                x, train_mode=False)
+    for s in clean:
+        np.testing.assert_allclose(spicy[s], clean[s], rtol=1e-5)
