@@ -60,7 +60,9 @@ def main():
 
         x_cal = jax.jit(lambda im: preprocess(
             jax.random.key(0), im, size=224, augment=False))(images)
-        taus = select_scan_tau(model, state.params, state.batch_stats, x_cal)
+        taus = select_scan_tau(
+            model, state.params, state.batch_stats, x_cal,
+            train_mode=os.environ.get("BENCH_MODE") != "infer")
     elif bench_tau not in ("auto", "off"):
         taus = int(bench_tau)
     if taus is not None:
