@@ -26,7 +26,39 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
 A100_BASELINE_IMG_PER_SEC = 700.0
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """True if jax's backend answers within timeout.
+
+    The axon TPU tunnel can go down for hours (ROUND3_NOTES outage record);
+    backend init then blocks forever inside jax.devices(). Probe it on a
+    daemon thread so the bench emits an honest error JSON instead of hanging
+    the driver.
+    """
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        ok.append(len(jax.devices()))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "images/sec/chip, medmamba_t train 224x224 bf16",
+            "value": 0.0, "unit": "img/s/chip", "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (tunnel down); last measured "
+                     "on-chip value is in ROUND3_NOTES.md / BENCH_r02.json"}))
+        import os as _os
+        _os._exit(0)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
