@@ -31,6 +31,7 @@ import pytest  # noqa: E402
 # host (pytest --durations, 2026-08-17). Quick-tier kernel coverage remains:
 # oracle tests for seq/assoc and the reverse-direction pallas interpret test.
 _SLOW = {
+    "test_export_cli",
     "test_graft_entry_dryrun", "test_tp_partitioned_params_step",
     "test_dp_train_step_on_mesh_matches_single_device",
     "test_pallas_kernel_shard_mapped_over_mesh",
