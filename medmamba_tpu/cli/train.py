@@ -64,6 +64,14 @@ def parse_args(argv=None):
                         "falling back to 16 (always exact) when the budget "
                         "is exceeded. A number forces that tau everywhere "
                         "(no safety check; see docs/DESIGN.md).")
+    p.add_argument("--fast_decode", action="store_true", default=False,
+                   help="DCT-scaled JPEG decode in the native loader "
+                        "(decode at the smallest libjpeg N/8 scale covering "
+                        "the target size, then the PIL-parity resize): "
+                        "~1.8x host decode throughput on photo-like JPEGs, "
+                        "pixel values deviate slightly (p99 <= 1 LSB "
+                        "measured; PNG unaffected). Default: bit-exact "
+                        "full decode.")
     p.add_argument("--exact_rotate", action="store_true", default=False,
                    help="Rotation augmentation via the exact per-pixel gather "
                         "instead of the fast Pallas kernel. The kernel lets "
@@ -135,6 +143,8 @@ def main(argv=None):
 
     if args.exact_rotate:
         os.environ["MEDMAMBA_EXACT_ROTATE"] = "1"
+    if args.fast_decode:
+        os.environ["MEDMAMBA_FAST_DECODE"] = "1"
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     # tau policy: 'auto' calibrates per stage against measured magnitudes
     # (below, and again every epoch); an explicit number forces it everywhere.

@@ -41,6 +41,9 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int]
     lib.batch_decode_resize.restype = ctypes.c_int
+    lib.batch_decode_resize_ex.argtypes = \
+        lib.batch_decode_resize.argtypes + [ctypes.c_int]
+    lib.batch_decode_resize_ex.restype = ctypes.c_int
     lib.gather_u8.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
@@ -53,9 +56,16 @@ def available() -> bool:
     return _load() is not None
 
 
-def batch_decode_resize(paths: List[str], size: int,
-                        n_threads: int = 0) -> Optional[np.ndarray]:
+def batch_decode_resize(paths: List[str], size: int, n_threads: int = 0,
+                        fast: Optional[bool] = None) -> Optional[np.ndarray]:
     """Decode+resize a list of image files to (N, size, size, 3) uint8.
+
+    ``fast`` enables DCT-domain scaled JPEG decode (decode at the smallest
+    libjpeg N/8 scale that still covers ``size``, then the same PIL-parity
+    triangle resize): ~2x faster on large JPEGs, pixel values deviate
+    slightly from the full-decode path (the standard DALI / tf.image
+    reduced-scale trick). Default: the MEDMAMBA_FAST_DECODE env var (off ->
+    bit-exact PIL-parity decode).
 
     Returns None if the native library is unavailable or any image failed
     (caller falls back to PIL).
@@ -63,15 +73,18 @@ def batch_decode_resize(paths: List[str], size: int,
     lib = _load()
     if lib is None:
         return None
+    if fast is None:
+        fast = os.environ.get("MEDMAMBA_FAST_DECODE", "0") == "1"
     n = len(paths)
     out = np.empty((n, size, size, 3), np.uint8)
     status = np.zeros((n,), np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     if n_threads <= 0:
         n_threads = min(8, os.cpu_count() or 1)
-    fails = lib.batch_decode_resize(
+    fails = lib.batch_decode_resize_ex(
         arr, n, size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads,
+        1 if fast else 0)
     if fails:
         return None
     return out

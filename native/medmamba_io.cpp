@@ -123,7 +123,14 @@ static void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(e->jb, 1);
 }
 
-static int decode_jpeg(FILE* f, std::vector<uint8_t>* out, int* h, int* w) {
+// target > 0 enables DCT-domain scaled decode (libjpeg scale_num/8): pick
+// the smallest N in 1..8 whose scaled dims still cover `target`, so the
+// subsequent triangle resize only ever downsamples. Cuts IDCT work up to
+// (N/8)^2 and feeds the resize a much smaller image (the DALI /
+// tf.image "decode at reduced scale" trick); target <= 0 decodes full-res
+// (bit-exact PIL-parity path, the default).
+static int decode_jpeg(FILE* f, std::vector<uint8_t>* out, int* h, int* w,
+                       int target) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -136,6 +143,14 @@ static int decode_jpeg(FILE* f, std::vector<uint8_t>* out, int* h, int* w) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (target > 0) {
+    int side = cinfo.image_width < cinfo.image_height
+                   ? cinfo.image_width : cinfo.image_height;
+    int num = 8;
+    while (num > 1 && (side * (num - 1)) / 8 >= target) --num;
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   *h = cinfo.output_height;
   *w = cinfo.output_width;
@@ -188,8 +203,9 @@ static int decode_png(FILE* f, std::vector<uint8_t>* out, int* h, int* w) {
 // ---------------------------------------------------------------------------
 
 // Decode one image file (JPEG or PNG by magic) and bilinear-resize into
-// dst (size*size*3 uint8). Returns 0 on success.
-int decode_resize(const char* path, int size, uint8_t* dst) {
+// dst (size*size*3 uint8). fast != 0 enables DCT-scaled JPEG decode (see
+// decode_jpeg; PNG is unaffected). Returns 0 on success.
+int decode_resize_ex(const char* path, int size, uint8_t* dst, int fast) {
   FILE* f = fopen(path, "rb");
   if (!f) return -2;
   uint8_t magic[8] = {0};
@@ -198,7 +214,7 @@ int decode_resize(const char* path, int size, uint8_t* dst) {
   std::vector<uint8_t> buf;
   int h = 0, w = 0, rc = -1;
   if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    rc = decode_jpeg(f, &buf, &h, &w);
+    rc = decode_jpeg(f, &buf, &h, &w, fast ? size : 0);
   } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
     rc = decode_png(f, &buf, &h, &w);
   }
@@ -208,18 +224,22 @@ int decode_resize(const char* path, int size, uint8_t* dst) {
   return 0;
 }
 
+int decode_resize(const char* path, int size, uint8_t* dst) {
+  return decode_resize_ex(path, size, dst, 0);
+}
+
 // Batched threaded decode+resize. paths: n C strings. dst: (n, size, size, 3).
 // status: per-image return codes. Returns count of failures.
-int batch_decode_resize(const char** paths, int n, int size, uint8_t* dst,
-                        int* status, int n_threads) {
+int batch_decode_resize_ex(const char** paths, int n, int size, uint8_t* dst,
+                           int* status, int n_threads, int fast) {
   if (n_threads < 1) n_threads = 1;
   std::atomic<int> next(0), fails(0);
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      int rc = decode_resize(paths[i], size,
-                             dst + (size_t)i * size * size * 3);
+      int rc = decode_resize_ex(paths[i], size,
+                                dst + (size_t)i * size * size * 3, fast);
       status[i] = rc;
       if (rc != 0) fails.fetch_add(1);
     }
@@ -229,6 +249,11 @@ int batch_decode_resize(const char** paths, int n, int size, uint8_t* dst,
   worker();
   for (auto& t : ts) t.join();
   return fails.load();
+}
+
+int batch_decode_resize(const char** paths, int n, int size, uint8_t* dst,
+                        int* status, int n_threads) {
+  return batch_decode_resize_ex(paths, n, size, dst, status, n_threads, 0);
 }
 
 // Batched gather: out[i] = src[idx[i]] for row-major uint8 rows of row_bytes.
