@@ -209,3 +209,32 @@ def test_pallas_shared_u_tile_on_chip(l):
                             g_t, g_m):
         np.testing.assert_allclose(np.asarray(gt), np.asarray(gm),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_export_pallas_variant_roundtrip():
+    """TPU-only serving artifact: the Mosaic scan kernel baked into a
+    serialized StableHLO export must deserialize and reproduce the live
+    pallas forward on this chip."""
+    from medmamba_tpu.models.vssm import VSSM
+    from medmamba_tpu.utils.export import export_forward, load_exported
+
+    model = VSSM(num_classes=3, depths=(1, 1), dims=(16, 32), d_state=4,
+                 drop_path_rate=0.0, scan_impl="pallas")
+    rng = jax.random.key(0)
+    x0 = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": rng}, x0, True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    blob = export_forward(model, variables, image_size=32, batch=2,
+                          platforms=("tpu",), scan_impl="pallas")
+    exp = load_exported(blob)
+    imgs = np.random.default_rng(3).integers(0, 256, (2, 32, 32, 3),
+                                             dtype=np.uint8)
+    got = np.asarray(exp.call(jnp.asarray(imgs)))
+
+    from medmamba_tpu.data.transforms import preprocess
+
+    xin = preprocess(jax.random.key(0), jnp.asarray(imgs), size=32,
+                     augment=False)
+    want = np.asarray(jax.nn.softmax(model.apply(variables, xin, True), -1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
