@@ -56,8 +56,7 @@ def main():
             "value": 0.0, "unit": "img/s/chip", "vs_baseline": 0.0,
             "error": "TPU backend unreachable (tunnel down); last measured "
                      "on-chip value is in ROUND3_NOTES.md / BENCH_r02.json"}))
-        import os as _os
-        _os._exit(0)
+        os._exit(0)
 
     import jax
     import jax.numpy as jnp

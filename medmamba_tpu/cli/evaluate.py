@@ -83,33 +83,39 @@ def main(argv=None):
 
     if args.scan_tau != "auto":
         model = model.clone(scan_tau=int(args.scan_tau))
-    elif jax.default_backend() == "tpu":
-        # Serving-side scan-tau selection: trained checkpoints usually admit
-        # large tau (tau=chunk halves the scan's forward cost vs the tau=16
-        # floor). Calibrate in EVAL mode (running-average BatchNorm -- the
-        # distribution these forwards actually run in) on the first batch;
-        # margin 0.8 since that batch samples the stream.
-        from medmamba_tpu.train.tau_select import select_scan_tau
+    need_calib = (args.scan_tau == "auto"
+                  and jax.default_backend() == "tpu")
 
-        for images, _ in BatchLoader(ds, args.batch_size,
-                                     shuffle=False).epoch(0):
-            x0 = jax.jit(prep)(jnp.asarray(images))
-            taus = select_scan_tau(model, variables["params"],
-                                   variables["batch_stats"], x0,
-                                   image_size=args.image_size, margin=0.8,
-                                   train_mode=False)
-            model = model.clone(scan_tau=taus)
-            print(f"scan tau (serving auto-selection): {taus}")
-            break
+    def make_forward(m):
+        @jax.jit
+        def forward(images):
+            return jax.nn.softmax(m.apply(variables, prep(images), True), -1)
+        return forward
 
-    @jax.jit
-    def forward(images):
-        return jax.nn.softmax(model.apply(variables, prep(images), True), -1)
-
+    forward = None
     cm = ConfusionMatrix(num_classes, labels=labels)
     loader = BatchLoader(ds, args.batch_size, shuffle=False)
     for images, trues in loader.epoch(0):
-        probs = np.asarray(forward(jnp.asarray(images)))
+        imgs = jnp.asarray(images)
+        if forward is None:
+            if need_calib:
+                # Serving-side scan-tau selection on the first (already
+                # decoded) batch: trained checkpoints usually admit large
+                # tau (tau=chunk halves the scan's forward cost vs the
+                # tau=16 floor). Calibrate in EVAL mode (running-average
+                # BatchNorm -- the distribution these forwards run in);
+                # margin 0.8 since one batch samples the stream.
+                from medmamba_tpu.train.tau_select import select_scan_tau
+
+                x0 = jax.jit(prep)(imgs)
+                taus = select_scan_tau(model, variables["params"],
+                                       variables["batch_stats"], x0,
+                                       image_size=args.image_size,
+                                       margin=0.8, train_mode=False)
+                model = model.clone(scan_tau=taus)
+                print(f"scan tau (serving auto-selection): {taus}")
+            forward = make_forward(model)
+        probs = np.asarray(forward(imgs))
         # The loader pads the final partial batch with label -1 (single static
         # shape -> one XLA compile); padded rows must not enter the metrics.
         valid = trues >= 0

@@ -24,6 +24,11 @@ def parse_args(argv=None):
                    choices=["T", "S", "B", "Te"])
     p.add_argument("--num_classes", type=int, default=None)
     p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--input_size", type=int, default=None,
+                   help="spatial size of the raw frames the artifact "
+                        "accepts (StableHLO pins it; the baked-in "
+                        "preprocess resizes to --image_size). Default: "
+                        "image_size, i.e. callers pre-resize.")
     p.add_argument("--batch", type=str, default="poly",
                    help="'poly' (symbolic batch dim) or a fixed int")
     p.add_argument("--platforms", type=str, default="cpu,tpu")
@@ -39,6 +44,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    platforms = tuple(s.strip() for s in args.platforms.split(","))
+    if args.scan_impl == "pallas" and platforms != ("tpu",):
+        raise SystemExit("--scan_impl pallas bakes a TPU-only Mosaic kernel "
+                         "into the artifact: it requires --platforms tpu "
+                         f"(got {args.platforms!r})")
 
     from medmamba_tpu.models.registry import create_model
     from medmamba_tpu.train.checkpoint import restore_params
@@ -54,7 +64,7 @@ def main(argv=None):
     blob = export_forward(
         model, variables, image_size=args.image_size,
         batch=None if args.batch == "poly" else int(args.batch),
-        platforms=tuple(s.strip() for s in args.platforms.split(",")),
+        input_size=args.input_size, platforms=platforms,
         with_preprocess=not args.no_preprocess, scan_impl=args.scan_impl)
     with open(args.out, "wb") as f:
         f.write(blob)

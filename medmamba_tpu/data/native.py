@@ -23,16 +23,21 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH):
-        try:
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                           check=True, capture_output=True, timeout=120)
-        except Exception:
+    # Always run make (a no-op when the .so is fresh): a stale prebuilt
+    # library from an older checkout would otherwise load but miss newer
+    # symbols (dlopen caches handles, so rebuilding after CDLL is too late).
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_SO_PATH):
             return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "batch_decode_resize_ex"):  # pragma: no cover
+        return None  # stale binary that survived the rebuild: PIL fallback
     lib.decode_resize.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                   ctypes.POINTER(ctypes.c_uint8)]
     lib.decode_resize.restype = ctypes.c_int

@@ -314,20 +314,18 @@ def selective_scan(
 
             from jax.sharding import PartitionSpec as P
 
+            from medmamba_tpu.parallel.mesh import shard_map_compat
+
             body = partial(selective_scan_pallas,
                            delta_softplus=delta_softplus,
                            return_last_state=return_last_state,
                            reverse_dirs=rflags, tau=tau, u_tile=u_tile,
                            out_dtype=out_dtype, valid_len=valid_len)
             dp, rep = P(axes), P()
-            kw = dict(mesh=mesh,
-                      in_specs=(dp, dp, rep, dp, dp, rep, rep),
-                      out_specs=(dp, dp) if return_last_state else dp)
-            try:
-                fn = jax.shard_map(body, check_vma=False, **kw)  # jax >= 0.8
-            except (AttributeError, TypeError):  # pragma: no cover
-                from jax.experimental.shard_map import shard_map
-                fn = shard_map(body, check_rep=False, **kw)
+            fn = shard_map_compat(
+                body, mesh=mesh,
+                in_specs=(dp, dp, rep, dp, dp, rep, rep),
+                out_specs=(dp, dp) if return_last_state else dp)
             d_full = delta.shape[1]
             return fn(u, delta, A, B, C,
                       jnp.zeros((d_full,), jnp.float32) if D is None else D,

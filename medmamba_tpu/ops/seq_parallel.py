@@ -119,13 +119,14 @@ def selective_scan_seq_parallel(
     Dv = jnp.zeros((d,), jnp.float32) if D is None else D
     bias = jnp.zeros((d,), jnp.float32) if delta_bias is None else delta_bias
 
+    from medmamba_tpu.parallel.mesh import shard_map_compat
+
     seq, seq4, rep = P(None, None, seq_axis), P(None, None, None, seq_axis), P()
-    fn = jax.shard_map(
+    fn = shard_map_compat(
         partial(_scan_and_stitch, delta_softplus=delta_softplus,
                 impl=impl, axis_name=seq_axis),
         mesh=mesh,
         in_specs=(seq, seq, rep, seq4, seq4, rep, rep),
-        out_specs=(seq, rep),
-        check_vma=False)
+        out_specs=(seq, rep))
     y, h_final = fn(u, delta, A, B, C, Dv, bias)
     return (y, h_final) if return_last_state else y

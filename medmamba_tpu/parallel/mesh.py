@@ -36,6 +36,18 @@ def set_active_mesh(mesh: Optional[Mesh]) -> None:
     _ACTIVE_MESH = mesh
 
 
+def shard_map_compat(body, *, mesh: Mesh, in_specs, out_specs):
+    """shard_map across jax generations: jax>=0.8 ships jax.shard_map with
+    check_vma; older releases only have jax.experimental.shard_map with
+    check_rep. Single shim so every kernel wrapper behaves the same."""
+    kw = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:
+        return jax.shard_map(body, check_vma=False, **kw)
+    except (AttributeError, TypeError):  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+        return shard_map(body, check_rep=False, **kw)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

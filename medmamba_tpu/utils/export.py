@@ -16,7 +16,7 @@ portable, requires ``--platforms tpu``).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,7 @@ from jax import export as jax_export
 
 def export_forward(model, variables, *, image_size: int = 224,
                    batch: Optional[int] = None,
+                   input_size: Optional[int] = None,
                    platforms: Sequence[str] = ("cpu", "tpu"),
                    with_preprocess: bool = True,
                    scan_impl: str = "assoc") -> bytes:
@@ -32,12 +33,19 @@ def export_forward(model, variables, *, image_size: int = 224,
 
     batch=None exports a symbolic batch dimension (any batch size at call
     time); an int pins it. ``with_preprocess`` fuses the training-recipe
-    normalization (resize + 0.5/0.5) so the artifact consumes raw uint8
-    (B, H, W, 3) frames.
+    preprocessing (resize to ``image_size`` + 0.5/0.5 normalize) so the
+    artifact consumes raw uint8 (B, input_size, input_size, 3) frames --
+    ``input_size`` is the FIXED spatial size the artifact accepts (StableHLO
+    pins it; default = image_size, i.e. pre-resized inputs); pass the camera
+    / scanner resolution to bake the resize in too.
     """
     from medmamba_tpu.data.transforms import preprocess
 
     export_model = model.clone(scan_impl=scan_impl)
+    in_size = input_size or image_size
+    if not with_preprocess and in_size != image_size:
+        raise ValueError("input_size != image_size requires the baked-in "
+                         "preprocess (it performs the resize)")
 
     def fwd(images):
         if with_preprocess:
@@ -53,7 +61,7 @@ def export_forward(model, variables, *, image_size: int = 224,
     else:
         bdim = batch
     in_dtype = jnp.uint8 if with_preprocess else jnp.float32
-    spec = jax.ShapeDtypeStruct((bdim, image_size, image_size, 3), in_dtype)
+    spec = jax.ShapeDtypeStruct((bdim, in_size, in_size, 3), in_dtype)
     exp = jax_export.export(jax.jit(fwd), platforms=list(platforms))(spec)
     return bytes(exp.serialize())
 

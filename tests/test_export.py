@@ -91,3 +91,22 @@ def test_export_cli(tmp_path, monkeypatch):
     probs = np.asarray(exp.call(jnp.asarray(imgs)))
     np.testing.assert_allclose(probs, _live_probs(model, variables, imgs, 32),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_export_raw_frame_input_size():
+    """input_size > image_size: the artifact accepts raw frames at the
+    scanner resolution and bakes the resize in (review finding: the
+    'raw frames' promise needs the input spec to say so)."""
+    model, variables = _tiny()
+    blob = export_forward(model, variables, image_size=32, input_size=48,
+                          batch=2, platforms=("cpu",))
+    exp = load_exported(blob)
+    imgs = np.random.default_rng(4).integers(0, 256, (2, 48, 48, 3),
+                                             dtype=np.uint8)
+    got = np.asarray(exp.call(jnp.asarray(imgs)))
+    want = _live_probs(model, variables, imgs, 32)  # preprocess resizes
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    import pytest
+    with pytest.raises(ValueError):
+        export_forward(model, variables, image_size=32, input_size=48,
+                       batch=2, platforms=("cpu",), with_preprocess=False)
