@@ -31,7 +31,9 @@ import pytest  # noqa: E402
 # host (pytest --durations, 2026-08-17). Quick-tier kernel coverage remains:
 # oracle tests for seq/assoc and the reverse-direction pallas interpret test.
 _SLOW = {
-    "test_export_cli",
+    "test_export_cli", "test_export_roundtrip_polymorphic_batch",
+    "test_calibration_handles_remat_model",
+    "test_dropout_rngs_change_output_in_train_mode",
     "test_graft_entry_dryrun", "test_tp_partitioned_params_step",
     "test_dp_train_step_on_mesh_matches_single_device",
     "test_pallas_kernel_shard_mapped_over_mesh",
