@@ -359,6 +359,38 @@ def _pick_matrix(t_len: int, tau: int):
     return ((s // tau) == j).astype(jnp.float32)
 
 
+def _seg_broadcast(vals, tau: int, chunk: int):
+    """Broadcast per-segment (Bb, Db, N) values to (Bb, Db, N, chunk) with
+    vals[j] filling tau-segment j.
+
+    Two lowerings:
+      * select (default for nseg <= 4): a chain of nseg-1 lane-mask selects
+        on full-lane broadcast operands -- no (..., nseg)-minor stack, which
+        Mosaic lowers to the strided-sublane relayouts that made the forced
+        compact mode 2.3x slower at nseg=8 (docs/DESIGN.md round-3 table);
+      * matmul: jnp.stack to (..., nseg) then a pick-matrix MXU matmul --
+        fewer passes once nseg is large enough that a select chain costs
+        more cube passes than the relayout.
+    Override with MEDMAMBA_SCAN_SEGBCAST=select|matmul for measurement.
+    """
+    nseg = len(vals)
+    if nseg == 1:
+        return vals[0][..., None]
+    mode = os.environ.get("MEDMAMBA_SCAN_SEGBCAST",
+                          "select" if nseg <= 4 else "matmul")
+    if mode == "select":
+        seg = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3) // tau
+        out = jnp.broadcast_to(vals[0][..., None],
+                               vals[0].shape + (chunk,))
+        for j in range(1, nseg):
+            bj = jnp.broadcast_to(vals[j][..., None],
+                                  vals[j].shape + (chunk,))
+            out = jnp.where(seg == j, bj, out)
+        return out
+    stacked = jnp.stack(vals, axis=-1)
+    return _matmul_t(stacked, _pick_matrix(chunk, tau).T)
+
+
 def _ssd_core_compact(dt, u, A, Bc, chunk: int, tau: int, h0,
                       reverse: bool = False, pitch: Optional[int] = None):
     """Compact-boundary SSD forward machinery (round 3).
@@ -426,13 +458,9 @@ def _ssd_core_compact(dt, u, A, Bc, chunk: int, tau: int, h0,
         h = ps[j] * h + zs[j]
     h_last = h
     # state contribution broadcast back along T: with one segment per chunk
-    # (the tau=chunk fast path) it is a free lane-broadcast; otherwise an MXU
-    # matmul against the transposed pick matrix. h_all = E * (G + vT).
-    if nseg == 1:
-        vT = (ehs[0] * hins[0])[..., None]
-    else:
-        v8 = jnp.stack([ehs[j] * hins[j] for j in range(nseg)], axis=-1)
-        vT = _matmul_t(v8, m_pick.T)
+    # (the tau=chunk fast path) it is a free lane-broadcast; otherwise a
+    # select chain / pick-matrix matmul (_seg_broadcast). h_all = E*(G + vT).
+    vT = _seg_broadcast([ehs[j] * hins[j] for j in range(nseg)], tau, chunk)
     return E, F, ehs, ps, G + vT, h_last
 
 
@@ -862,12 +890,8 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                 vs[k] = V
                 V = ps[k] * V + ehs[k] * _col(rcg, chunk + k)
             dh_scr[j] = V               # carry into the next-processed chunk
-            if nseg == 1:
-                vaT = (ehs[0] * vs[0])[..., None]
-            else:
-                va8 = jnp.stack([ehs[k] * vs[k] for k in range(nseg)],
-                                axis=-1)
-                vaT = _matmul_t(va8, m_pick.T)
+            vaT = _seg_broadcast([ehs[k] * vs[k] for k in range(nseg)],
+                                 tau, chunk)
             dh = F * (rc + vaT)
         else:
             E, F, ehalf, _G, _hb, h_all, _h_last, dub = _ssd_forward_core(
