@@ -22,6 +22,7 @@ import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/.cache/jax_comp_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
@@ -88,36 +89,48 @@ def main():
         f.write(data)
 
     import csv as _csv
+    import json as _json
 
-    rows = list(_csv.DictReader(io.StringIO(data)))
-    device = [r for r in rows if r.get("Host/device", r.get("host_or_device",
-                                                            "")).lower()
-              != "host"]
+    if data.lstrip().startswith("[{") or data.lstrip().startswith("{"):
+        # xprof >= 2.x returns the gviz-JSON table regardless of tqx=out:csv
+        tab = _json.loads(data)
+        tab = tab[0] if isinstance(tab, list) else tab
+        ids = [c["id"] for c in tab["cols"]]
+        rows = [{ids[i]: (cell or {}).get("v") for i, cell in
+                 enumerate(r["c"])} for r in tab["rows"]]
+    else:
+        rows = list(_csv.DictReader(io.StringIO(data)))
+    device = [r for r in rows
+              if str(r.get("Host/device", r.get("host_or_device",
+                                                ""))).lower() != "host"]
 
     def col(r, *names, default="0"):
         for n in names:
-            if n in r and r[n] != "":
+            if n in r and r[n] not in ("", None):
                 return r[n]
         return default
 
     for r in device:
         r["_self_us"] = float(col(r, "Total self-time (us)",
-                                  "total_self_time_us", "Self time (us)"))
+                                  "total_self_time", "total_self_time_us",
+                                  "Self time (us)"))
     device.sort(key=lambda r: -r["_self_us"])
     total = sum(r["_self_us"] for r in device)
+    def opname(r):
+        return str(col(r, "Operation", "Operation Name", "operation",
+                       "op_name", default="?"))
+
     scan = sum(r["_self_us"] for r in device
-               if "scan" in col(r, "Operation", "op_name",
-                                default="").lower()
-               or "pallas" in col(r, "Operation", "op_name",
-                                  default="").lower())
+               if "scan" in opname(r).lower()
+               or "pallas" in opname(r).lower())
     n_steps = 3.0
     print(f"total device self-time/step: {total / n_steps / 1e3:.2f} ms  "
           f"(pallas/scan-named: {scan / n_steps / 1e3:.2f} ms)")
     print(f"{'self ms/step':>12}  {'%':>5}  op")
     for r in device[:args.top]:
-        name = col(r, "Operation", "op_name", default="?")
         print(f"{r['_self_us'] / n_steps / 1e3:12.3f}  "
-              f"{100 * r['_self_us'] / max(total, 1e-9):5.1f}  {name[:100]}")
+              f"{100 * r['_self_us'] / max(total, 1e-9):5.1f}  "
+              f"{opname(r)[:100]}")
     print(f"\nraw table: {csv_path}")
 
 
