@@ -26,6 +26,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
 A100_BASELINE_IMG_PER_SEC = 700.0
 
 
+def _tau_json(taus):
+    """Per-stage taus as JSON-friendly values (nsplit specs -> short strings)."""
+    if not isinstance(taus, tuple):
+        return taus
+    return [t if isinstance(t, int) else f"{t[3]}x{t[2]}/{t[4]}" for t in taus]
+
+
 def _probe_backend(timeout_s: float = 180.0) -> bool:
     """True if jax's backend answers within timeout.
 
@@ -135,8 +142,7 @@ def main():
             "value": round(ips, 2), "unit": "img/s/chip",
             "vs_baseline": None,
             "extra": {"batch": batch,
-                      "scan_tau": (list(taus) if isinstance(taus, tuple)
-                                   else taus)}}))
+                      "scan_tau": _tau_json(taus)}}))
         return
 
     # N steps inside ONE jitted fori_loop: a single dispatch + single sync, so
@@ -238,9 +244,8 @@ def main():
             "scan_ms": round(step_ms - nonscan_ms, 2),
             "batch": batch,
             "scan_kernel": os.environ.get("MEDMAMBA_SCAN_KERNEL", "ssd"),
-            "scan_tau": (list(taus) if isinstance(taus, tuple)
-                         else taus or int(os.environ.get(
-                             "MEDMAMBA_SCAN_TAU", "16"))),
+            "scan_tau": _tau_json(taus) if taus is not None else int(
+                os.environ.get("MEDMAMBA_SCAN_TAU", "16")),
             "mfu_vs_bf16_peak": round(
                 ips_per_chip * train_flops_img / 197e12, 4),
         }

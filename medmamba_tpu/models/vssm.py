@@ -236,7 +236,7 @@ class SS2D(nn.Module):
     # MEDMAMBA_SCAN_TAU env default (16). Larger tau is faster but exact only
     # while |A * seg_sum(dt)| <= 2*CLIP per segment; the training CLI picks it
     # per stage from measured magnitudes (train/tau_select.py).
-    scan_tau: Optional[int] = None
+    scan_tau: Any = None  # int | ('nsplit', perm, m, tau_hi, tau_lo)
 
     def _sow_seg_budgets(self, dts, bias2, A2, valid_len=None):
         """Sow max |A| * seg_sum(dt) per candidate tau into ``scan_stats``.
@@ -261,15 +261,19 @@ class SS2D(nn.Module):
             # the budget measurement must too (softplus(0+bias) > 0 there)
             pos = jnp.arange(dt.shape[-1])
             dt = jnp.where(pos[None, None, None, :] < valid_len, dt, 0.0)
-        abs_a = jnp.max(jnp.abs(A2), axis=-1)            # (2, d_inner)
+        abs_a = jnp.abs(A2)                              # (2, d_inner, N)
         b, k2, dd, l = dt.shape
         budgets = []
         for tau_c in SCAN_TAU_CANDIDATES:
             lp = -(-l // tau_c) * tau_c
             seg = jnp.pad(dt, ((0, 0),) * 3 + ((0, lp - l),))
             seg = seg.reshape(b, k2, dd, lp // tau_c, tau_c).sum(-1)
-            budgets.append(jnp.max(jnp.max(seg, axis=(0, 3)) * abs_a))
-        self.sow("scan_stats", "seg_budget", jnp.stack(budgets))
+            # per-state-dim budgets: the bound is per (d, n) lane, so keeping
+            # the N axis lets the selector run low-|A| state dims at a larger
+            # tau than the worst lane allows (the "nsplit" mixed-tau path)
+            seg_d = jnp.max(seg, axis=(0, 3))            # (2, d_inner)
+            budgets.append(jnp.max(seg_d[:, :, None] * abs_a, axis=(0, 1)))
+        self.sow("scan_stats", "seg_budget", jnp.stack(budgets))  # (|cand|, N)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):  # (B, H, W, d_model)
@@ -345,21 +349,45 @@ class SS2D(nn.Module):
         wdt4 = dt_projs_weight.reshape(2, 2, d_inner, dt_rank)
         dts4 = jnp.einsum("bjkrl,jkdr->bjkdl", dts4, wdt4.astype(dts4.dtype))
 
+        # Mixed-tau n-split ("nsplit" spec from train.tau_select): the scan's
+        # exactness bound is per (d, n) lane and y = sum_n C_n * h_n, so state
+        # dims whose |A[:, n]| * seg_sum(dt) fits a larger tau's budget run in
+        # their own (faster) kernel launch and the two partial y's add. The
+        # binding lanes are the high-|A| decay dims (|A[:, n]| ~ n at the S4D
+        # init), so most lanes typically admit tau=chunk while the worst few
+        # hold the whole launch at tau=64 without this.
+        tau_spec = self.scan_tau
+        if isinstance(tau_spec, tuple) and tau_spec and tau_spec[0] == "nsplit":
+            _, perm, m, tau_hi, tau_lo = tau_spec
+            n_parts = ((list(perm[:m]), tau_hi), (list(perm[m:]), tau_lo))
+        else:
+            n_parts = ((None, tau_spec),)
+
         def scan_pair(j, rev):  # j = 0: dirs (0, 1) fwd | 1: dirs (2, 3) rev
             ks = (2 * j, 2 * j + 1)
             dts, Bs, Cs = dts4[:, j], Bs4[:, j], Cs4[:, j]
             if self.is_mutable_collection("scan_stats"):
                 self._sow_seg_budgets(dts, bias_f[ks[0]:ks[1] + 1],
                                       As[ks[0]:ks[1] + 1], valid_len=vlen)
-            y = selective_scan(
-                u, dts.reshape(b, 2 * d_inner, lpad),
-                As[ks[0]:ks[1] + 1].reshape(2 * d_inner, n), Bs, Cs,
-                Ds_f[ks[0]:ks[1] + 1].reshape(-1),
-                delta_bias=bias_f[ks[0]:ks[1] + 1].reshape(-1),
-                delta_softplus=True, impl=self.scan_impl,
-                reverse_dirs=(rev, rev), tau=self.scan_tau,
-                out_dtype=self.dtype, valid_len=vlen,
-            )  # (B, 2*D, Lp) block dtype, buffer order
+            A2 = As[ks[0]:ks[1] + 1]
+            y = None
+            for idx, tau_c in n_parts:
+                yk = selective_scan(
+                    u, dts.reshape(b, 2 * d_inner, lpad),
+                    (A2 if idx is None else A2[:, :, idx]).reshape(
+                        2 * d_inner, -1),
+                    Bs if idx is None else Bs[:, :, idx],
+                    Cs if idx is None else Cs[:, :, idx],
+                    # the D*u skip term belongs to the whole output: first
+                    # part only (None = zeros for the rest)
+                    Ds_f[ks[0]:ks[1] + 1].reshape(-1) if y is None else None,
+                    delta_bias=bias_f[ks[0]:ks[1] + 1].reshape(-1),
+                    delta_softplus=True, impl=self.scan_impl,
+                    reverse_dirs=(rev, rev), tau=tau_c,
+                    out_dtype=self.dtype, valid_len=vlen,
+                )
+                y = yk if y is None else y + yk
+            # (B, 2*D, Lp) block dtype, buffer order
             # the scan CORE stays fp32 (reference contract); in bf16 block
             # mode the kernel emits y already in bf16 (bit-identical to the
             # cast this line used to apply, half the y-write/gy-read HBM
@@ -407,7 +435,7 @@ class SSConvSSM(nn.Module):
     d_state: int = 16
     dtype: Dtype = jnp.float32
     scan_impl: str = "auto"
-    scan_tau: Optional[int] = None
+    scan_tau: Any = None  # int | ('nsplit', perm, m, tau_hi, tau_lo)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -439,8 +467,13 @@ class SSConvSSM(nn.Module):
         c = conv(1, "conv1x1")(c)
         c = nn.relu(c)
 
-        out = jnp.concatenate([c, r], axis=-1)
-        out = channel_shuffle(out, groups=2)
+        # concat + channel_shuffle(groups=2) == interleave the two halves
+        # channel-wise (out[..., 2j] = c[..., j], out[..., 2j+1] = r[..., j]).
+        # Emitting the interleave directly as ONE stack+reshape skips the
+        # materialized concat and the shuffle's reshape-swap-reshape chain
+        # (bit-identical; pinned by test_channel_shuffle_interleave_identity).
+        b_, h_, w_, _ = x.shape
+        out = jnp.stack([c, r], axis=-1).reshape(b_, h_, w_, self.hidden_dim)
         return out + x
 
 
@@ -456,7 +489,7 @@ class VSSLayer(nn.Module):
     use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
     scan_impl: str = "auto"
-    scan_tau: Optional[int] = None
+    scan_tau: Any = None  # int | ('nsplit', perm, m, tau_hi, tau_lo)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -495,7 +528,9 @@ class VSSM(nn.Module):
     use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
     scan_impl: str = "auto"
-    # int (all stages) or a per-stage sequence; None = env default (tau=16).
+    # int (all stages), a per-stage sequence, or an ("nsplit", perm, m,
+    # tau_hi, tau_lo) mixed-tau spec (also valid per stage) picked by
+    # train.tau_select; None = env default (tau=16).
     scan_tau: Any = None
 
     def setup(self):
@@ -509,7 +544,9 @@ class VSSM(nn.Module):
             self.pos_drop = nn.Dropout(self.drop_rate)
         dpr = self._stage_dpr()
         taus = self.scan_tau
-        if taus is None or isinstance(taus, int):
+        if (taus is None or isinstance(taus, int)
+                or (isinstance(taus, tuple) and taus
+                    and taus[0] == "nsplit")):  # one spec for every stage
             taus = (taus,) * num_layers
         self.layers = [
             VSSLayer(

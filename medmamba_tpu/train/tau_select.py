@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 import logging
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -35,6 +35,11 @@ from medmamba_tpu.ops.pallas_scan import _CLIP, DEFAULT_CHUNK
 log = logging.getLogger("medmamba_tpu.tau_select")
 
 SAFE_FLOOR = 16  # always-exact default segment length
+
+# Mixed-tau n-split granule: n-subsets are fp32 sublane-tiled in the kernel's
+# (Bb, Db, N, T) cubes, so subsets smaller than 8 pad back up to 8 and save
+# nothing. Splits are multiples of this.
+N_GRANULE = 8
 
 
 @functools.lru_cache(maxsize=4)
@@ -76,8 +81,10 @@ def measure_seg_budgets(model, params, batch_stats, images, *,
     """One calibration forward; returns per-stage max |A|*seg_sum(dt).
 
     ``images``: a preprocessed (B, H, W, 3) float batch. Returns
-    {stage_index: (len(SCAN_TAU_CANDIDATES),) array} -- the max over every
-    SS2D block, direction, channel and tau-aligned segment in that stage.
+    {stage_index: (len(SCAN_TAU_CANDIDATES), d_state) array} -- per state dim
+    n, the max over every SS2D block, direction, channel and tau-aligned
+    segment in that stage (the exactness bound is per (d, n) lane; keeping n
+    enables the mixed-tau "nsplit" selection).
     ``train_mode``: match the mode of the gated forwards (see _calib_fn).
     """
     # Canonical calibration clone: the sown budgets depend on the activations
@@ -101,9 +108,9 @@ def measure_seg_budgets(model, params, batch_stats, images, *,
                 stage = int(name.split("_")[1])
         if stage is None:
             continue
-        arr = np.asarray(leaf, np.float32).reshape(-1)
-        if len(arr) != len(SCAN_TAU_CANDIDATES):  # pragma: no cover
-            continue
+        arr = np.asarray(leaf, np.float32)
+        if arr.ndim != 2 or arr.shape[0] != len(SCAN_TAU_CANDIDATES):
+            continue  # pragma: no cover
         prev = out.get(stage)
         out[stage] = arr if prev is None else np.maximum(prev, arr)
     return out
@@ -137,11 +144,53 @@ def _packing_cap(seq_len: int, chunk: int = DEFAULT_CHUNK) -> int:
     return cap
 
 
+def _pick_stage_tau(b: Optional[np.ndarray], cap: int, limit: float):
+    """Per-stage policy on a (|candidates|, N) per-n budget matrix.
+
+    Returns the largest candidate tau whose budget fits for EVERY state dim
+    (the round-3 behavior), or -- when a larger candidate fits for at least
+    N_GRANULE state dims -- a mixed-tau spec ``("nsplit", perm, m, tau_hi,
+    tau_lo)``: state dims ``perm[:m]`` (budget-ascending order) run at
+    ``tau_hi`` in their own kernel launch, the rest at ``tau_lo``, and SS2D
+    adds the partial y's (exact: y = sum_n C_n h_n and the bound is per
+    (d, n) lane). ``b`` is None for unmeasured stages -> the safe floor.
+    """
+    tau = SAFE_FLOOR
+    if b is None:
+        return tau
+    for i, cand in enumerate(SCAN_TAU_CANDIDATES):
+        if cand <= cap and float(np.max(b[i])) <= limit:
+            tau = max(tau, cand)
+    nst = b.shape[1]
+    if nst < 2 * N_GRANULE or nst % N_GRANULE:
+        return tau
+    best = None
+    for i, cand in enumerate(SCAN_TAU_CANDIDATES):
+        if cand <= cap and cand > tau:
+            m = (int(np.sum(b[i] <= limit)) // N_GRANULE) * N_GRANULE
+            if N_GRANULE <= m < nst:
+                best = (i, cand, m)
+    if best is None:
+        return tau
+    i, tau_hi, m = best
+    order = np.argsort(b[i], kind="stable")
+    rest = order[m:]
+    tau_lo = SAFE_FLOOR
+    for j, cand in enumerate(SCAN_TAU_CANDIDATES):
+        if cand <= cap and float(np.max(b[j][rest])) <= limit:
+            tau_lo = max(tau_lo, cand)
+    if tau_lo >= tau_hi:  # pragma: no cover -- would have been a full fit
+        return tau_lo
+    return ("nsplit", tuple(int(v) for v in order), m, tau_hi, tau_lo)
+
+
 def select_scan_tau(model, params, batch_stats, images, *,
                     image_size: int = 224, margin: float = 0.9,
                     num_stages: Optional[int] = None,
-                    train_mode: bool = True) -> Tuple[int, ...]:
-    """Pick the per-stage tau: largest candidate inside the clip budget.
+                    train_mode: bool = True) -> Tuple[Any, ...]:
+    """Pick the per-stage tau: largest candidate inside the clip budget,
+    mixed per state dim (``_pick_stage_tau``) when only the high-|A| decay
+    lanes hold a stage below a faster tau.
 
     margin: fraction of the exactness bound 2*CLIP a segment may use; the
     headroom absorbs drift between recalibrations (the CLI recalibrates every
@@ -162,14 +211,13 @@ def select_scan_tau(model, params, batch_stats, images, *,
     for s in range(num_stages):
         b = budgets.get(s)
         cap = _packing_cap(seq_lens[s])
-        tau = SAFE_FLOOR
-        if b is not None:
-            for i, cand in enumerate(SCAN_TAU_CANDIDATES):
-                if cand <= cap and b[i] <= limit:
-                    tau = max(tau, cand)
+        tau = _pick_stage_tau(b, cap, limit)
         taus.append(tau)
         if b is not None:
+            desc = (tau if isinstance(tau, int) else
+                    f"{tau[3]}x{tau[2]}/{tau[4]}x{b.shape[1] - tau[2]} lanes")
             log.info("tau-select stage %d: budgets %s (limit %.0f, cap %d) "
-                     "-> tau=%d", s,
-                     np.array2string(b, precision=1), limit, cap, tau)
+                     "-> tau=%s", s,
+                     np.array2string(np.max(b, axis=1), precision=1), limit,
+                     cap, desc)
     return tuple(taus)

@@ -89,6 +89,17 @@ def test_channel_shuffle_involution():
     np.testing.assert_allclose(np.asarray(y), np.asarray(x))
 
 
+def test_channel_shuffle_interleave_identity():
+    # SSConvSSM emits concat([c, r]) + channel_shuffle(2) as a single
+    # stack-interleave (models/vssm.py); pin the bit-identity of the two forms.
+    rng = np.random.default_rng(9)
+    c = jnp.asarray(rng.standard_normal((2, 3, 3, 8)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((2, 3, 3, 8)), jnp.float32)
+    ref = channel_shuffle(jnp.concatenate([c, r], axis=-1), groups=2)
+    fused = jnp.stack([c, r], axis=-1).reshape(2, 3, 3, 16)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
 def test_batchnorm_stats_update_in_train_mode():
     m = _tiny_model()
     x = jnp.asarray(np.random.default_rng(4).standard_normal((4, 16, 16, 3)),

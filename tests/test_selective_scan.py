@@ -498,3 +498,43 @@ def test_pallas_out_dtype_respected_on_interleaved_directions():
     np.testing.assert_array_equal(np.asarray(y, np.float32),
                                   np.asarray(y32.astype(jnp.bfloat16),
                                              np.float32))
+
+
+def test_pallas_n_split_partials_sum_to_full():
+    """The mixed-tau n-split (SS2D "nsplit" spec) runs the kernel twice over
+    disjoint state-dim subsets and adds the partial y's. With equal tau on
+    both parts the sum must match the full-N call to fp32 reduction-order
+    tolerance (y = sum_n C_n h_n; D*u injected into exactly one part), and
+    gradients must flow through the split. Kernel-level companion of
+    tests/test_tau_select.py::test_nsplit_model_matches_unsplit."""
+    from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+
+    rng = np.random.default_rng(41)
+    u, delta, A, B, C, D, bias = _mk(rng, b=2, d=16, n=8, l=96, g=2)
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    perm = (5, 2, 7, 0, 3, 6, 1, 4)
+    hi, lo = list(perm[:4]), list(perm[4:])
+
+    def full(a):
+        return selective_scan_pallas(a[0], a[1], a[2], a[3], a[4], a[5],
+                                     delta_bias=a[6], delta_softplus=True,
+                                     tau=16)
+
+    def split(a):
+        y = selective_scan_pallas(a[0], a[1], a[2][:, hi], a[3][:, :, hi],
+                                  a[4][:, :, hi], a[5], delta_bias=a[6],
+                                  delta_softplus=True, tau=16)
+        return y + selective_scan_pallas(a[0], a[1], a[2][:, lo],
+                                         a[3][:, :, lo], a[4][:, :, lo],
+                                         None, delta_bias=a[6],
+                                         delta_softplus=True, tau=16)
+
+    y_full, y_split = full(args), split(args)
+    scale = np.abs(np.asarray(y_full)).max()
+    assert np.abs(np.asarray(y_split) - np.asarray(y_full)).max() / scale < 1e-5
+
+    g_full = jax.grad(lambda a: jnp.sum(full(a) ** 2))(args)
+    g_split = jax.grad(lambda a: jnp.sum(split(a) ** 2))(args)
+    for gf, gs in zip(g_full, g_split):
+        s = np.abs(np.asarray(gf)).max() + 1e-6
+        assert np.abs(np.asarray(gs) - np.asarray(gf)).max() / s < 2e-4

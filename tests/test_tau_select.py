@@ -47,10 +47,10 @@ def test_budgets_measured_per_stage_and_monotone():
     budgets = measure_seg_budgets(model, params, bs, x)
     assert set(budgets) == {0, 1}
     for b in budgets.values():
-        assert b.shape == (len(SCAN_TAU_CANDIDATES),)
+        assert b.shape == (len(SCAN_TAU_CANDIDATES), model.d_state)
         assert np.all(b > 0)
-        # seg sums grow with tau, so budgets are non-decreasing
-        assert np.all(np.diff(b) >= -1e-5)
+        # seg sums grow with tau, so budgets are non-decreasing per lane
+        assert np.all(np.diff(b, axis=0) >= -1e-5)
 
 
 def test_select_falls_back_on_adversarial_magnitudes():
@@ -66,9 +66,10 @@ def test_select_falls_back_on_adversarial_magnitudes():
         (2, 32, 32, 3)).astype(np.float32))
     taus = select_scan_tau(model, big, bs, x, image_size=32)
     assert taus == (SAFE_FLOOR,) * 2
-    # sanity: the measured budgets really do exceed the gate
+    # sanity: the measured budgets really do exceed the gate (every lane --
+    # no nsplit escape hatch either)
     budgets = measure_seg_budgets(model, big, bs, x)
-    assert all(b[0] > 2 * _CLIP for b in budgets.values())
+    assert all(np.min(b[0]) > 2 * _CLIP for b in budgets.values())
 
 
 def test_select_picks_larger_tau_when_safe():
@@ -86,6 +87,74 @@ def test_select_picks_larger_tau_when_safe():
     # stages at 32px: L = 64 (8x8), 16 (4x4) -> packing caps 64, 16
     assert taus == (_packing_cap(64), _packing_cap(16))
     assert taus[0] > SAFE_FLOOR  # actually upgraded, not floored
+
+
+def test_pick_stage_tau_policy():
+    """The mixed-tau n-split policy on synthetic per-n budget matrices."""
+    from medmamba_tpu.train.tau_select import N_GRANULE, _pick_stage_tau
+
+    limit = 144.0
+    n = 16
+    lanes = np.arange(1, n + 1, dtype=np.float32) / n  # |A_n| ~ n at init
+
+    # every lane fits tau=128 -> plain int (no pointless split)
+    b = np.stack([30 * lanes, 60 * lanes, 120 * lanes])
+    assert _pick_stage_tau(b, cap=128, limit=limit) == 128
+
+    # the measured init regime: tau=64 fits all lanes, tau=128 only for
+    # n <= 11 -> 8 lanes split off at 128, the rest (the worst 8) stay at 64
+    b = np.stack([51 * lanes, 102 * lanes, 204 * lanes])
+    spec = _pick_stage_tau(b, cap=128, limit=limit)
+    assert spec[0] == "nsplit" and spec[2:] == (N_GRANULE, 128, 64)
+    perm = spec[1]
+    assert sorted(perm) == list(range(n))
+    assert list(perm) == list(np.argsort(b[2], kind="stable"))
+
+    # fewer than N_GRANULE lanes fit the larger tau -> no split
+    b = np.stack([51 * lanes, 102 * lanes, 500 * lanes])
+    assert _pick_stage_tau(b, cap=128, limit=limit) == 64
+
+    # the packing cap gates split candidates exactly like plain ones
+    b = np.stack([51 * lanes, 102 * lanes, 204 * lanes])
+    assert _pick_stage_tau(b, cap=64, limit=limit) == 64
+    # cap 64 with some lanes over at 64 -> split 64/32
+    b = np.stack([51 * lanes, 204 * lanes, 500 * lanes])
+    spec = _pick_stage_tau(b, cap=64, limit=limit)
+    assert spec[0] == "nsplit" and spec[2:] == (N_GRANULE, 64, 32)
+
+    # no measurement -> the safe floor
+    assert _pick_stage_tau(None, cap=128, limit=limit) == SAFE_FLOOR
+
+    # small/odd d_state: never split (sublane padding would eat the win)
+    b = np.stack([51 * np.ones(4), 102 * np.ones(4), 204 * np.ones(4)])
+    assert _pick_stage_tau(b, cap=128, limit=limit) == 64
+
+
+def test_nsplit_model_matches_unsplit():
+    """A model cloned with an nsplit spec produces the same outputs and
+    gradients as the plain-tau model (exercises the SS2D split call path:
+    n-permutation, A/B/C slicing, single D*u term, partial-y add). The assoc
+    impl ignores tau, so any difference would be a split-wiring bug."""
+    m_plain = _tiny_model()
+    spec = ("nsplit", (2, 0, 3, 1), 2, 64, 16)
+    m_split = m_plain.clone(scan_tau=(spec, 16))
+    params, bs = _init(m_plain)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32))
+
+    def loss(m, p):
+        y = m.apply({"params": p, "batch_stats": bs}, x, True)
+        return jnp.sum(y ** 2), y
+
+    (l0, y0), g0 = jax.value_and_grad(lambda p: loss(m_plain, p),
+                                      has_aux=True)(params)
+    (l1, y1), g1 = jax.value_and_grad(lambda p: loss(m_split, p),
+                                      has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-5), g1, g0)
 
 
 def test_model_scan_tau_is_static_config():
