@@ -181,7 +181,13 @@ def _pick_stage_tau(b: Optional[np.ndarray], cap: int, limit: float):
             tau_lo = max(tau_lo, cand)
     if tau_lo >= tau_hi:  # pragma: no cover -- would have been a full fit
         return tau_lo
-    return ("nsplit", tuple(int(v) for v in order), m, tau_hi, tau_lo)
+    # Canonicalize: only the PARTITION matters (any lane order within a part
+    # is numerically valid), so sort each part ascending -- epoch-to-epoch
+    # budget jitter that reorders lanes WITHIN a part then cannot change the
+    # spec and force a pointless retrace/recompile of the train step.
+    perm = tuple(sorted(int(v) for v in order[:m])) + \
+        tuple(sorted(int(v) for v in rest))
+    return ("nsplit", perm, m, tau_hi, tau_lo)
 
 
 def select_scan_tau(model, params, batch_stats, images, *,
