@@ -538,3 +538,46 @@ def test_pallas_n_split_partials_sum_to_full():
     for gf, gs in zip(g_full, g_split):
         s = np.abs(np.asarray(gf)).max() + 1e-6
         assert np.abs(np.asarray(gs) - np.asarray(gf)).max() / s < 2e-4
+
+
+def test_pallas_n_split_with_valid_len_and_reverse():
+    """n-split x valid_len x mixed reverse dirs -- the exact combination the
+    224-input model runs under an nsplit spec (chunk-padded L, one forward
+    and one reversed pair). Partials at equal tau must sum to the full call."""
+    from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+
+    rng = np.random.default_rng(43)
+    l, lp = 200, 256
+    u, delta, A, B, C, D, bias = _mk(rng, b=2, d=16, n=8, l=lp, g=2)
+    # zero the pad region of the injected streams like SS2D's pre-padding
+    for x in (u, delta, B, C):
+        x[..., l:] = 0.0
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    flags, perm = (False, True), (6, 1, 4, 3, 0, 7, 2, 5)
+    hi, lo = list(perm[:4]), list(perm[4:])
+
+    def full(a):
+        return selective_scan_pallas(a[0], a[1], a[2], a[3], a[4], a[5],
+                                     delta_bias=a[6], delta_softplus=True,
+                                     tau=16, reverse_dirs=flags, valid_len=l)
+
+    def split(a):
+        y = selective_scan_pallas(a[0], a[1], a[2][:, hi], a[3][:, :, hi],
+                                  a[4][:, :, hi], a[5], delta_bias=a[6],
+                                  delta_softplus=True, tau=16,
+                                  reverse_dirs=flags, valid_len=l)
+        return y + selective_scan_pallas(a[0], a[1], a[2][:, lo],
+                                         a[3][:, :, lo], a[4][:, :, lo],
+                                         None, delta_bias=a[6],
+                                         delta_softplus=True, tau=16,
+                                         reverse_dirs=flags, valid_len=l)
+
+    y_full, y_split = full(args), split(args)
+    scale = np.abs(np.asarray(y_full)).max()
+    assert np.abs(np.asarray(y_split) - np.asarray(y_full)).max() / scale < 1e-5
+
+    g_full = jax.grad(lambda a: jnp.sum(full(a)[..., :l] ** 2))(args)
+    g_split = jax.grad(lambda a: jnp.sum(split(a)[..., :l] ** 2))(args)
+    for gf, gs in zip(g_full, g_split):
+        s = np.abs(np.asarray(gf)).max() + 1e-6
+        assert np.abs(np.asarray(gs) - np.asarray(gf)).max() / s < 2e-4
