@@ -20,6 +20,7 @@ Te 13.70M at 9 classes (SURVEY §2.1).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -351,15 +352,24 @@ class SS2D(nn.Module):
 
         # Mixed-tau n-split ("nsplit" spec from train.tau_select): the scan's
         # exactness bound is per (d, n) lane and y = sum_n C_n * h_n, so state
-        # dims whose |A[:, n]| * seg_sum(dt) fits a larger tau's budget run in
-        # their own (faster) kernel launch and the two partial y's add. The
-        # binding lanes are the high-|A| decay dims (|A[:, n]| ~ n at the S4D
-        # init), so most lanes typically admit tau=chunk while the worst few
-        # hold the whole launch at tau=64 without this.
+        # dims whose |A[:, n]| * seg_sum(dt) fits a larger tau's budget run
+        # their within-chunk machinery at that larger tau. The binding lanes
+        # are the high-|A| decay dims (|A[:, n]| ~ n at the S4D init), so most
+        # lanes typically admit tau=chunk while the worst few would hold the
+        # whole scan at tau=64 without this. Default realization: ONE kernel
+        # launch with lanes permuted tau_hi-part-first and a (m, tau_hi,
+        # tau_lo) tau spec -- the kernel runs the two parts inside the same
+        # program, sharing the u/dt/y (and bwd gy/du/ddt) streams the
+        # round-3 two-launch realization duplicated (~18 ms/step, DESIGN.md).
+        # MEDMAMBA_NSPLIT_FUSED=0 restores the two-launch split for A/B
+        # measurement.
         tau_spec = self.scan_tau
         if isinstance(tau_spec, tuple) and tau_spec and tau_spec[0] == "nsplit":
             _, perm, m, tau_hi, tau_lo = tau_spec
-            n_parts = ((list(perm[:m]), tau_hi), (list(perm[m:]), tau_lo))
+            if os.environ.get("MEDMAMBA_NSPLIT_FUSED", "1") != "0":
+                n_parts = ((list(perm), (m, tau_hi, tau_lo)),)
+            else:
+                n_parts = ((list(perm[:m]), tau_hi), (list(perm[m:]), tau_lo))
         else:
             n_parts = ((None, tau_spec),)
 

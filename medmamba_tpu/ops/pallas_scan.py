@@ -220,6 +220,52 @@ def _tau() -> int:
     return int(os.environ.get("MEDMAMBA_SCAN_TAU", "16"))
 
 
+def _norm_tau_arg(tau, chunk: int):
+    """Clamp a tau spec to the chunk. int -> int; an ``(m, tau_hi, tau_lo)``
+    tuple (fused mixed-tau n-split, see ``_tau_parts``) keeps its part split
+    unless clamping collapses the two taus, in which case it degenerates to
+    the plain int path (no slicing overhead for an even split)."""
+    if isinstance(tau, (tuple, list)):
+        m, hi, lo = int(tau[0]), min(int(tau[1]), chunk), min(int(tau[2]), chunk)
+        if hi == lo:
+            return hi
+        return (m, hi, lo)
+    return min(int(tau or _tau()), chunk)
+
+
+def _tau_parts(tau, n: int):
+    """Normalize a tau spec to ``((n_start, n_stop, tau_part), ...)``.
+
+    An int covers every state dim in one part (the pre-round-3 behavior).
+    A ``(m, tau_hi, tau_lo)`` tuple is the FUSED mixed-tau n-split: state
+    dims [0:m] run their within-chunk machinery at segment length tau_hi and
+    dims [m:n] at tau_lo *inside the same kernel program*, sharing every
+    N-independent stream (u/dt loads + softplus and the y write in the
+    forward; the gy read, du/ddt writes and dbias/dD reductions in the
+    backward). The two-launch realization of the same split (SS2D calling
+    the kernel once per part) duplicated those streams for ~18 ms/step of
+    the theoretical 26 ms the split can recover (docs/DESIGN.md round 3);
+    fusing recovers them. Exactness is unchanged: y = sum_n C_n h_n and the
+    clip bound is per (d, n) lane, so each lane only needs ITS tau to fit
+    its measured |A|*seg_sum(dt) budget. Callers pass A/B/C with state dims
+    pre-permuted so the tau_hi-safe lanes come first (train/tau_select.py
+    emits the permutation; on-TPU ``m`` should be a multiple of the fp32
+    sublane granule 8 -- tau_select's N_GRANULE -- so the B/C slices stay
+    tile-aligned)."""
+    if isinstance(tau, (tuple, list)):
+        m, hi, lo = int(tau[0]), int(tau[1]), int(tau[2])
+        assert 0 < m < n, f"nsplit m={m} outside (0, {n})"
+        return ((0, m, hi), (m, n, lo))
+    return ((0, n, int(tau)),)
+
+
+def _slice_n(x, s0: int, s1: int, axis: int):
+    """Static slice along the state-dim axis (identity when full-width)."""
+    if s0 == 0 and s1 == x.shape[axis]:
+        return x
+    return jax.lax.slice_in_dim(x, s0, s1, axis=axis)
+
+
 def _seg_matrices(t_len: int, tau: int):
     """Constant matmul operands for segmented scans along a T axis.
 
@@ -541,15 +587,32 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
     return E, F, ehalf, G, hin_bcast, h_all, h_last, dub
 
 
+def _part_fwd(dt, u, A, Bc, Cc, h0, chunk: int, tau: int, rev: bool,
+              pitch: Optional[int]):
+    """One state-dim part's forward: within-chunk machinery at segment
+    length ``tau`` on (possibly N-sliced) A/Bc/Cc/h0. Returns the part's
+    output contribution y_p = sum_n C_n h_n (fp32, no D*u) and its chunk-exit
+    state."""
+    if _use_compact(chunk, tau):
+        E, _F, _ehs, _ps, GvT, h_last = _ssd_core_compact(
+            dt, u, A, Bc, chunk, tau, h0=h0, reverse=rev, pitch=pitch)
+        return jnp.sum(E * GvT * Cc[:, None], axis=2), h_last
+    _E, _F, _eh, _G, _hb, h_all, h_last, _dub = _ssd_forward_core(
+        dt, u, A, Bc, chunk, tau, h0=h0, reverse=rev, pitch=pitch)
+    return jnp.sum(h_all * Cc[:, None], axis=2), h_last
+
+
 def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     y_ref, st_ref, last_ref, h_scr,
-                    *, l_valid: int, chunk: int, tau: int,
+                    *, l_valid: int, chunk: int, tau,
                     reverse=False, pitch: Optional[int] = None,
                     elem_len: Optional[int] = None):
     """``reverse``: bool (uniform direction) or ``("mixed", n_fwd)`` --
     groups < n_fwd scan forward, groups >= n_fwd scan in reverse, resolved
     per program with a branch on the group grid index (the launch-merge that
-    lets SS2D run all four CrossScan directions in ONE kernel call)."""
+    lets SS2D run all four CrossScan directions in ONE kernel call).
+    ``tau``: int or the fused mixed-tau ``(m, tau_hi, tau_lo)`` n-split
+    (see ``_tau_parts``)."""
     t = pl.program_id(3)
     nc = pl.num_programs(3)
 
@@ -580,14 +643,19 @@ def _fwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                 jnp.int32, (1, 1, chunk), 2)
             dt = jnp.where(pos < l_valid, dt, 0.0)    # pad: decay 1, inject 0
         h0 = h_scr[...]                               # (Bb, Db, N)
-        if _use_compact(chunk, tau):
-            E, _F, _ehs, _ps, GvT, h_last = _ssd_core_compact(
-                dt, u, A, Bc, chunk, tau, h0=h0, reverse=rev, pitch=pitch)
-            y = jnp.sum(E * GvT * Cc[:, None], axis=2)  # (Bb, Db, T) fp32
-        else:
-            _E, _F, _eh, _G, hb, h_all, h_last, _dub = _ssd_forward_core(
-                dt, u, A, Bc, chunk, tau, h0=h0, reverse=rev, pitch=pitch)
-            y = jnp.sum(h_all * Cc[:, None], axis=2)  # (Bb, Db, T)
+        parts = _tau_parts(tau, A.shape[-1])
+        y, lasts = None, []
+        for s0, s1, tau_p in parts:
+            # per-part N slices: B/C slice the sublane axis (granule-aligned
+            # at m % 8 == 0); A/h0 slice their minor (lane) axis -- tiny
+            # (Bb, Db, N)-scale relayouts, nothing cube-scale
+            y_p, h_last_p = _part_fwd(
+                dt, u, _slice_n(A, s0, s1, 1), _slice_n(Bc, s0, s1, 1),
+                _slice_n(Cc, s0, s1, 1), _slice_n(h0, s0, s1, 2),
+                chunk, tau_p, rev, pitch)
+            y = y_p if y is None else y + y_p         # (Bb, Db, T) fp32
+            lasts.append(h_last_p)
+        h_last = lasts[0] if len(lasts) == 1 else jnp.concatenate(lasts, -1)
         # store in the output buffer's dtype (bf16 block mode emits bf16
         # directly: the model cast this immediately anyway, so values are
         # bit-identical and the write traffic halves)
@@ -727,7 +795,7 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
                                        1024 * 1024)))
         kernel = functools.partial(_fwd_kernel_ssd, l_valid=l_valid,
                                    chunk=chunk,
-                                   tau=min(tau or _tau(), chunk),
+                                   tau=_norm_tau_arg(tau, chunk),
                                    reverse=rev, pitch=pitch,
                                    elem_len=elem_len)
     else:
@@ -799,12 +867,101 @@ def _fwd_pallas(u, delta, A, B, C, D, bias, chunk: int, l_valid: int,
 # gradients use a_t h_{t-1} = h_t - dt*u*B_t, so no extra exponentials.
 # ---------------------------------------------------------------------------
 
+def _part_bwd(dt, u, gy, A, Bc, Cc, h0, carry_in, chunk: int, tau: int,
+              rv_dir: bool, pitch: Optional[int]):
+    """One state-dim part's backward: recompute + adjoint scan + gradient
+    contractions at segment length ``tau`` on (possibly N-sliced) operands.
+    Returns (dhB, dadt, dbc, dcc, dA_p, carry_out): the (Bb, Db, T) pieces
+    the caller combines into du/ddt across parts, the part's dB/dC/dA
+    contributions, and the adjoint chunk carry for this part's lanes."""
+    cdt = _compute_dtype()
+    m_cum, m_rev, m_seg = _seg_matrices(chunk, tau)
+    m_adj = m_cum if rv_dir else m_rev
+    if _use_compact(chunk, tau):
+        # recompute (compact boundary) + compact adjoint scan:
+        # dh_t = F_t * (adjcumsum_t(E q) + E_end_j * V_j), with the
+        # cross-segment carries V as per-segment (Bb, Db, N) tensors
+        nseg = chunk // tau
+        m_pick = _pick_matrix(chunk, tau)
+        E, F, ehs, ps, GvT, _hl = _ssd_core_compact(
+            dt, u, A, Bc, chunk, tau, h0=h0, reverse=rv_dir, pitch=pitch)
+        h_all = E * GvT
+        dub = (dt * u).astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
+        eq = E * (Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :])
+        rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_pick], axis=1))
+        rc = rcg[..., :chunk]
+        # adjoint boundary recurrence V_prev = p_j V + E_end_j sum_j(Eq),
+        # processed opposite to the primal direction, as a static loop on
+        # per-segment (Bb, Db, N) tensors (mirror of the forward's)
+        spe = None if pitch is None else pitch // tau
+        order = range(nseg) if rv_dir else range(nseg - 1, -1, -1)
+        vs = [None] * nseg
+        V = carry_in
+        for idx, k in enumerate(order):
+            if spe is not None and idx % spe == 0 and idx > 0:
+                V = jnp.zeros_like(V)   # packed element boundary
+            vs[k] = V
+            V = ps[k] * V + ehs[k] * _col(rcg, chunk + k)
+        carry_out = V                   # carry into the next-processed chunk
+        vaT = _seg_broadcast([ehs[k] * vs[k] for k in range(nseg)],
+                             tau, chunk)
+        dh = F * (rc + vaT)
+    else:
+        E, F, ehalf, _G, _hb, h_all, _h_last, dub = _ssd_forward_core(
+            dt, u, A, Bc, chunk, tau, h0=h0, reverse=rv_dir, pitch=pitch)
+
+        # adjoint scan: dh_t = F_t * (revcumsum_t(E q) + E_end_j V_j)
+        # with the cross-segment carries V solved by a tau-stride
+        # doubling scan running opposite to the forward direction
+        # (everything below is the exact lane mirror when rv_dir)
+        q = Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :]
+        eq = E * q                                 # (Bb, Db, N, T) cdt
+        rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1))
+        rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]  # cumsum|totals
+        carry_b = jnp.broadcast_to(carry_in[..., None],
+                                   carry_in.shape + (chunk,))
+        p = ehalf * ehalf
+        bprime = ehalf * rcsum                     # b'_j = E_end_j sum(Eq)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
+        # the adjoint scan runs opposite to the primal direction; for
+        # packed chunks, decouple elements with the matching reset mask
+        reset = (None if pitch is None else
+                 _pack_reset_mask(rv_dir, pitch, tau, chunk))
+        if reset is not None:
+            p = jnp.where(reset, 0.0, p)
+        if rv_dir:
+            bprime = jnp.where(lane < tau, bprime + p * carry_b, bprime)
+            rv = _seg_scan_fwd(p, bprime, tau, chunk)
+            v = jnp.concatenate([carry_b[..., :tau], rv[..., :-tau]],
+                                axis=-1)
+            carry_out = _col(rv, -1)
+        else:
+            bprime = jnp.where(lane >= chunk - tau,  # fold carry V_{R-1}
+                               bprime + p * carry_b, bprime)
+            rv = _seg_scan_rev(p, bprime, tau, chunk)  # rv_j = V_{j-1}
+            v = jnp.concatenate([rv[..., tau:], carry_b[..., :tau]],
+                                axis=-1)
+            carry_out = _col(rv, 0)                # = a_0 dh_0 carry
+        if reset is not None:
+            v = jnp.where(reset, 0.0, v)
+        dh = F * (rc + ehalf * v)
+
+    # parameter/input gradient pieces (a_t h_{t-1} = h_t - dub_t)
+    dhB = jnp.sum(dh * Bc[:, None], axis=2)        # (Bb, Db, T)
+    p2 = dh * (h_all - dub)
+    dadt = jnp.sum(p2 * A[None, :, :, None], axis=2)  # (Bb, Db, T)
+    dbc = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)   # (Bb, Np, T)
+    dcc = jnp.sum(h_all * gy[:, :, None, :], axis=1)
+    dA_p = jnp.sum(p2 * dt[:, :, None, :], axis=(0, 3))   # (Db, Np)
+    return dhB, dadt, dbc, dcc, dA_p, carry_out
+
+
 def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                     st_ref, gy_ref,
                     du_ref, ddt_ref, dB_ref, dC_ref, dA_ref, dbias_ref,
                     dD_ref, dh_scr, dA_scr, dbias_scr, dD_scr,
                     dB_scr, dC_scr,
-                    *, l_valid: int, chunk: int, tau: int,
+                    *, l_valid: int, chunk: int, tau,
                     reverse=False, pitch: Optional[int] = None,
                     elem_len: Optional[int] = None):
     # grid = (group, batch_block, L_chunk, d_block) -- d_block INNERMOST so
@@ -850,9 +1007,6 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
             jnp.int32, (1, 1, chunk), 2) % pitch
         dt0 = jnp.where(inelem < elem_len, dt0, 0.0)
 
-    cdt = _compute_dtype()
-    m_cum, m_rev, m_seg = _seg_matrices(chunk, tau)
-
     def _go(rv_dir: bool):
         dt, gy = dt0, gy0
         if pitch is None and l_valid % chunk != 0:
@@ -863,81 +1017,23 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
             valid = pos < l_valid
             dt = jnp.where(valid, dt, 0.0)
             gy = jnp.where(valid, gy, 0.0)
-        m_adj = m_cum if rv_dir else m_rev
-        if _use_compact(chunk, tau):
-            # recompute (compact boundary) + compact adjoint scan:
-            # dh_t = F_t * (adjcumsum_t(E q) + E_end_j * V_j), with the
-            # cross-segment carries V on (Bb, Db, N*nseg) lanes
-            nseg = chunk // tau
-            m_pick = _pick_matrix(chunk, tau)
-            E, F, ehs, ps, GvT, _hl = _ssd_core_compact(
-                dt, u, A, Bc, chunk, tau, h0=h0, reverse=rv_dir, pitch=pitch)
-            h_all = E * GvT
-            dub = (dt * u).astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
-            eq = E * (Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :])
-            rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_pick], axis=1))
-            rc = rcg[..., :chunk]
-            # adjoint boundary recurrence V_prev = p_j V + E_end_j sum_j(Eq),
-            # processed opposite to the primal direction, as a static loop on
-            # per-segment (Bb, Db, N) tensors (mirror of the forward's)
-            spe = None if pitch is None else pitch // tau
-            order = range(nseg) if rv_dir else range(nseg - 1, -1, -1)
-            vs = [None] * nseg
-            V = dh_scr[j]
-            for idx, k in enumerate(order):
-                if spe is not None and idx % spe == 0 and idx > 0:
-                    V = jnp.zeros_like(V)   # packed element boundary
-                vs[k] = V
-                V = ps[k] * V + ehs[k] * _col(rcg, chunk + k)
-            dh_scr[j] = V               # carry into the next-processed chunk
-            vaT = _seg_broadcast([ehs[k] * vs[k] for k in range(nseg)],
-                                 tau, chunk)
-            dh = F * (rc + vaT)
-        else:
-            E, F, ehalf, _G, _hb, h_all, _h_last, dub = _ssd_forward_core(
-                dt, u, A, Bc, chunk, tau, h0=h0, reverse=rv_dir, pitch=pitch)
-
-            # adjoint scan: dh_t = F_t * (revcumsum_t(E q) + E_end_j V_j)
-            # with the cross-segment carries V solved by a tau-stride
-            # doubling scan running opposite to the forward direction
-            # (everything below is the exact lane mirror when rv_dir)
-            q = Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :]
-            eq = E * q                                 # (Bb, Db, N, T) cdt
-            rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1))
-            rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]  # cumsum|totals
-            carry = dh_scr[j]
-            carry_b = jnp.broadcast_to(carry[..., None],
-                                       carry.shape + (chunk,))
-            p = ehalf * ehalf
-            bprime = ehalf * rcsum                     # b'_j = E_end_j sum(Eq)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
-            # the adjoint scan runs opposite to the primal direction; for
-            # packed chunks, decouple elements with the matching reset mask
-            reset = (None if pitch is None else
-                     _pack_reset_mask(rv_dir, pitch, tau, chunk))
-            if reset is not None:
-                p = jnp.where(reset, 0.0, p)
-            if rv_dir:
-                bprime = jnp.where(lane < tau, bprime + p * carry_b, bprime)
-                rv = _seg_scan_fwd(p, bprime, tau, chunk)
-                v = jnp.concatenate([carry_b[..., :tau], rv[..., :-tau]],
-                                    axis=-1)
-                dh_scr[j] = _col(rv, -1)
-            else:
-                bprime = jnp.where(lane >= chunk - tau,  # fold carry V_{R-1}
-                                   bprime + p * carry_b, bprime)
-                rv = _seg_scan_rev(p, bprime, tau, chunk)  # rv_j = V_{j-1}
-                v = jnp.concatenate([rv[..., tau:], carry_b[..., :tau]],
-                                    axis=-1)
-                dh_scr[j] = _col(rv, 0)                # = a_0 dh_0 carry
-            if reset is not None:
-                v = jnp.where(reset, 0.0, v)
-            dh = F * (rc + ehalf * v)
-
-        # parameter/input gradients (a_t h_{t-1} = h_t - dub_t)
-        dhB = jnp.sum(dh * Bc[:, None], axis=2)        # (Bb, Db, T)
-        p2 = dh * (h_all - dub)
-        dadt = jnp.sum(p2 * A[None, :, :, None], axis=2)  # (Bb, Db, T)
+        parts = _tau_parts(tau, A.shape[-1])
+        carry_full = dh_scr[j]                         # (Bb, Db, N)
+        dhB = dadt = None
+        dbcs, dccs, dAs, carries = [], [], [], []
+        for s0, s1, tau_p in parts:
+            dhB_p, dadt_p, dbc_p, dcc_p, dA_p, carry_p = _part_bwd(
+                dt, u, gy, _slice_n(A, s0, s1, 1), _slice_n(Bc, s0, s1, 1),
+                _slice_n(Cc, s0, s1, 1), _slice_n(h0, s0, s1, 2),
+                _slice_n(carry_full, s0, s1, 2), chunk, tau_p, rv_dir, pitch)
+            dhB = dhB_p if dhB is None else dhB + dhB_p
+            dadt = dadt_p if dadt is None else dadt + dadt_p
+            dbcs.append(dbc_p)
+            dccs.append(dcc_p)
+            dAs.append(dA_p)
+            carries.append(carry_p)
+        dh_scr[j] = (carries[0] if len(carries) == 1
+                     else jnp.concatenate(carries, -1))
         du_out = dt * dhB + D_ref[0, 0, :, :] * gy
         ddt_raw = (u * dhB + dadt) * sig
 
@@ -947,8 +1043,8 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
         # across the innermost d-block sweep, written once per (group, batch,
         # chunk) in the output dtype (bf16 cotangents in bf16 block mode --
         # same single final rounding the external cast used to apply)
-        dbc = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)
-        dcc = jnp.sum(h_all * gy[:, :, None, :], axis=1)
+        dbc = dbcs[0] if len(dbcs) == 1 else jnp.concatenate(dbcs, axis=1)
+        dcc = dccs[0] if len(dccs) == 1 else jnp.concatenate(dccs, axis=1)
         nd_j = pl.num_programs(3)
 
         @pl.when(j == 0)
@@ -966,7 +1062,8 @@ def _bwd_kernel_ssd(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
             dB_ref[:, 0] = dB_scr[...].astype(dB_ref.dtype)
             dC_ref[:, 0] = dC_scr[...].astype(dC_ref.dtype)
 
-        dA_scr[j] += jnp.sum(p2 * dt[:, :, None, :], axis=(0, 3))
+        dA_scr[j] += (dAs[0] if len(dAs) == 1
+                      else jnp.concatenate(dAs, axis=-1))
         dbias_scr[j] += jnp.sum(ddt_raw, axis=(0, 2))[:, None]
         dD_scr[j] += jnp.sum(gy * u, axis=(0, 2))[:, None]
 
@@ -1105,7 +1202,7 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
                                        512 * 1024)))
         kernel = functools.partial(_bwd_kernel_ssd, l_valid=l_valid,
                                    chunk=chunk,
-                                   tau=min(tau or _tau(), chunk),
+                                   tau=_norm_tau_arg(tau, chunk),
                                    reverse=rev_mode, pitch=pitch,
                                    elem_len=elem_len)
         nd = dpg // dblk
@@ -1384,6 +1481,12 @@ def selective_scan_pallas(
     HBM buffer). SS2D uses u_tile=2: directions 2/3 scan the same buffers as
     0/1, just in reverse.
 
+    ``tau``: int segment length, or the fused mixed-tau n-split
+    ``(m, tau_hi, tau_lo)`` -- state dims [0:m] run their within-chunk
+    machinery at tau_hi and [m:] at tau_lo inside the SAME launch, sharing
+    every N-independent stream (see ``_tau_parts``); callers pre-permute
+    A/B/C's state dims so the tau_hi-safe lanes come first.
+
     ``out_dtype``: y's dtype (default float32, the reference scan contract).
     SS2D passes its block dtype: in bf16 mode the model cast y immediately
     anyway, so emitting bf16 from the kernel is bit-identical and halves the
@@ -1512,12 +1615,23 @@ def selective_scan_pallas(
     # reset masks (see _pack_reset_mask) decouple them. Zero-padded inputs
     # need no extra validity masking: pad decay factors cancel in all E*F
     # pairwise differences and only feed reset-blocked segment boundaries.
-    tau = min(tau or _tau(), c)
-    assert c % tau == 0, f"tau={tau} must divide chunk={c}"
+    tau = _norm_tau_arg(tau, c)
+    if isinstance(tau, tuple):
+        # fused mixed-tau n-split (m, tau_hi, tau_lo): state dims [0:m] run
+        # at tau_hi, [m:] at tau_lo, in ONE launch (see _tau_parts). The
+        # packing pitch must be a whole number of BOTH parts' segments:
+        # tau_hi (the larger; taus are powers of two, so tau_lo divides it).
+        _m, _t_hi, _t_lo = tau
+        assert c % _t_hi == 0 and _t_hi % _t_lo == 0, \
+            f"nsplit taus {tau} must divide chunk={c} and nest"
+        tau_pack = _t_hi
+    else:
+        assert c % tau == 0, f"tau={tau} must divide chunk={c}"
+        tau_pack = tau
     if (valid_len is None and not return_last_state
             and _kernel_impl() == "ssd"
             and os.environ.get("MEDMAMBA_SCAN_PACK", "1") != "0"):
-        p_cand = _cdiv(l, tau) * tau
+        p_cand = _cdiv(l, tau_pack) * tau_pack
         if p_cand < c and c % p_cand == 0 and bb % (c // p_cand) == 0:
             pitch = p_cand
             npack = c // pitch

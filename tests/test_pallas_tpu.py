@@ -238,3 +238,58 @@ def test_export_pallas_variant_roundtrip():
                      augment=False)
     want = np.asarray(jax.nn.softmax(model.apply(variables, xin, True), -1))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_nsplit_fused_on_chip():
+    """Fused mixed-tau n-split (ONE launch, tau=(m, tau_hi, tau_lo)) at the
+    production granule (n=16, m=8): Mosaic must compile the per-part lane
+    slices of A/h0/carry and the lane concats of h_last/dA, and outputs +
+    all 7 gradients must match the two-launch realization. Covers the
+    unpacked valid_len path with mixed reverse dirs AND the packed short-L
+    path (both production regimes)."""
+    rng = np.random.default_rng(45)
+
+    def two_launch(a, perm, m, hi_tau, lo_tau, **kw):
+        hi, lo = list(perm[:m]), list(perm[m:])
+        y = selective_scan_pallas(a[0], a[1], a[2][:, hi], a[3][:, :, hi],
+                                  a[4][:, :, hi], a[5], delta_bias=a[6],
+                                  delta_softplus=True, tau=hi_tau, **kw)
+        return y + selective_scan_pallas(
+            a[0], a[1], a[2][:, lo], a[3][:, :, lo], a[4][:, :, lo], None,
+            delta_bias=a[6], delta_softplus=True, tau=lo_tau, **kw)
+
+    def fused(a, perm, m, hi_tau, lo_tau, **kw):
+        p = list(perm)
+        return selective_scan_pallas(
+            a[0], a[1], a[2][:, p], a[3][:, :, p], a[4][:, :, p], a[5],
+            delta_bias=a[6], delta_softplus=True,
+            tau=(m, hi_tau, lo_tau), **kw)
+
+    perm = (3, 0, 5, 12, 8, 14, 1, 10, 2, 4, 6, 7, 9, 11, 13, 15)
+    for l, taus, kw in (
+            (200, (128, 64), dict(reverse_dirs=(False, False, True, True),
+                                  valid_len=256)),
+            (49, (32, 16), {})):
+        u, delta, A, B, C, D, bias = _make(rng, b=4, l=(256 if l == 200
+                                                        else l))
+        if l == 200:
+            for x in (u, delta, B, C):
+                x[..., l:] = 0.0
+        if kw.get("valid_len"):
+            kw = dict(kw, valid_len=l)
+        args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+
+        y_two = np.asarray(two_launch(args, perm, 8, *taus, **kw))
+        y_fused = np.asarray(fused(args, perm, 8, *taus, **kw))
+        scale = np.abs(y_two[..., :l]).max()
+        assert np.abs((y_fused - y_two)[..., :l]).max() / scale < 1e-5, l
+
+        g_two = jax.grad(lambda a: jnp.sum(
+            two_launch(a, perm, 8, *taus, **kw)[..., :l] ** 2))(args)
+        g_fused = jax.grad(lambda a: jnp.sum(
+            fused(a, perm, 8, *taus, **kw)[..., :l] ** 2))(args)
+        for name, gt, gf in zip(["du", "ddt", "dA", "dB", "dC", "dD",
+                                 "dbias"], g_two, g_fused):
+            s = np.abs(np.asarray(gt)).max() + 1e-6
+            assert np.abs(np.asarray(gf)
+                          - np.asarray(gt)).max() / s < 2e-4, (l, name)

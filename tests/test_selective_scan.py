@@ -581,3 +581,126 @@ def test_pallas_n_split_with_valid_len_and_reverse():
     for gf, gs in zip(g_full, g_split):
         s = np.abs(np.asarray(gf)).max() + 1e-6
         assert np.abs(np.asarray(gs) - np.asarray(gf)).max() / s < 2e-4
+
+
+def _two_launch_nsplit(a, perm, m, tau_hi, tau_lo, **kw):
+    """Reference realization of an nsplit: one kernel launch per part."""
+    from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+
+    hi, lo = list(perm[:m]), list(perm[m:])
+    y = selective_scan_pallas(a[0], a[1], a[2][:, hi], a[3][:, :, hi],
+                              a[4][:, :, hi], a[5], delta_bias=a[6],
+                              delta_softplus=True, tau=tau_hi, **kw)
+    return y + selective_scan_pallas(
+        a[0], a[1], a[2][:, lo], a[3][:, :, lo], a[4][:, :, lo], None,
+        delta_bias=a[6], delta_softplus=True, tau=tau_lo, **kw).astype(y.dtype)
+
+
+def _fused_nsplit(a, perm, m, tau_hi, tau_lo, **kw):
+    """Fused realization: ONE launch, lanes permuted, tau=(m, tau_hi, tau_lo)."""
+    from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+
+    p = list(perm)
+    return selective_scan_pallas(a[0], a[1], a[2][:, p], a[3][:, :, p],
+                                 a[4][:, :, p], a[5], delta_bias=a[6],
+                                 delta_softplus=True, tau=(m, tau_hi, tau_lo),
+                                 **kw)
+
+
+def _assert_close(ya, yb, tol, l=None):
+    ya, yb = np.asarray(ya, np.float32), np.asarray(yb, np.float32)
+    if l is not None:
+        ya, yb = ya[..., :l], yb[..., :l]
+    scale = np.abs(ya).max()
+    assert np.abs(yb - ya).max() / scale < tol
+
+
+def test_pallas_nsplit_fused_matches_two_launch():
+    """The fused mixed-tau kernel (one launch, tau=(m, tau_hi, tau_lo),
+    lanes pre-permuted) must match the two-launch realization it replaces
+    and the assoc oracle, for outputs AND gradients."""
+    rng = np.random.default_rng(47)
+    u, delta, A, B, C, D, bias = _mk(rng, b=2, d=16, n=8, l=256, g=2)
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    perm, m = (5, 2, 7, 0, 3, 6, 1, 4), 4
+
+    y_two = _two_launch_nsplit(args, perm, m, 32, 16)
+    y_fused = _fused_nsplit(args, perm, m, 32, 16)
+    _assert_close(y_two, y_fused, 1e-5)
+    y_oracle = selective_scan_assoc(*args[:6], delta_bias=args[6],
+                                    delta_softplus=True)
+    _assert_close(y_oracle, y_fused, 2e-4)
+
+    g_two = jax.grad(lambda a: jnp.sum(
+        _two_launch_nsplit(a, perm, m, 32, 16) ** 2))(args)
+    g_fused = jax.grad(lambda a: jnp.sum(
+        _fused_nsplit(a, perm, m, 32, 16) ** 2))(args)
+    for gt, gf in zip(g_two, g_fused):
+        s = np.abs(np.asarray(gt)).max() + 1e-6
+        assert np.abs(np.asarray(gf) - np.asarray(gt)).max() / s < 2e-4
+
+
+def test_pallas_nsplit_fused_valid_len_reverse():
+    """Fused nsplit x valid_len x mixed reverse dirs -- the production
+    combination (chunk-padded L, one forward and one reversed pair)."""
+    rng = np.random.default_rng(48)
+    l, lp = 200, 256
+    u, delta, A, B, C, D, bias = _mk(rng, b=2, d=16, n=8, l=lp, g=2)
+    for x in (u, delta, B, C):
+        x[..., l:] = 0.0
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    flags, perm, m = (False, True), (6, 1, 4, 3, 0, 7, 2, 5), 4
+    kw = dict(reverse_dirs=flags, valid_len=l)
+
+    y_two = _two_launch_nsplit(args, perm, m, 64, 16, **kw)
+    y_fused = _fused_nsplit(args, perm, m, 64, 16, **kw)
+    _assert_close(y_two, y_fused, 1e-5, l=l)
+
+    g_two = jax.grad(lambda a: jnp.sum(
+        _two_launch_nsplit(a, perm, m, 64, 16, **kw)[..., :l] ** 2))(args)
+    g_fused = jax.grad(lambda a: jnp.sum(
+        _fused_nsplit(a, perm, m, 64, 16, **kw)[..., :l] ** 2))(args)
+    for gt, gf in zip(g_two, g_fused):
+        s = np.abs(np.asarray(gt)).max() + 1e-6
+        assert np.abs(np.asarray(gf) - np.asarray(gt)).max() / s < 2e-4
+
+
+def test_pallas_nsplit_fused_packed_short_l():
+    """Fused nsplit on the short-L batch-packed path (stage-4 shapes): the
+    packing pitch snaps to tau_hi segments and both parts' reset masks
+    decouple the packed elements."""
+    rng = np.random.default_rng(49)
+    u, delta, A, B, C, D, bias = _mk(rng, b=4, d=16, n=8, l=49, g=2)
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    perm, m = (1, 4, 6, 2, 0, 3, 5, 7), 4
+
+    y_fused = _fused_nsplit(args, perm, m, 32, 16)
+    y_oracle = selective_scan_assoc(*args[:6], delta_bias=args[6],
+                                    delta_softplus=True)
+    _assert_close(y_oracle, y_fused, 2e-4)
+
+    y_two = _two_launch_nsplit(args, perm, m, 32, 16)
+    g_two = jax.grad(lambda a: jnp.sum(
+        _two_launch_nsplit(a, perm, m, 32, 16) ** 2))(args)
+    g_fused = jax.grad(lambda a: jnp.sum(
+        _fused_nsplit(a, perm, m, 32, 16) ** 2))(args)
+    _assert_close(y_two, y_fused, 1e-5)
+    for gt, gf in zip(g_two, g_fused):
+        s = np.abs(np.asarray(gt)).max() + 1e-6
+        assert np.abs(np.asarray(gf) - np.asarray(gt)).max() / s < 2e-4
+
+
+def test_pallas_nsplit_fused_bf16_out_dtype():
+    """Fused nsplit with out_dtype=bf16 is bit-identical to casting the fp32
+    fused output (the dtype-through contract)."""
+    rng = np.random.default_rng(50)
+    u, delta, A, B, C, D, bias = _mk(rng, b=2, d=16, n=8, l=128, g=2)
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    perm, m = tuple(range(8)), 4
+
+    y32 = _fused_nsplit(args, perm, m, 64, 32)
+    y16 = _fused_nsplit(args, perm, m, 64, 32, out_dtype=jnp.bfloat16)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(y16, np.float32),
+        np.asarray(y32.astype(jnp.bfloat16), np.float32))

@@ -239,3 +239,35 @@ def test_eval_mode_calibration_is_deterministic_forward():
                                 x, train_mode=False)
     for s in clean:
         np.testing.assert_allclose(spicy[s], clean[s], rtol=1e-5)
+
+
+def test_nsplit_fused_matches_two_launch_in_model(monkeypatch):
+    """SS2D's default nsplit realization (ONE fused kernel launch with
+    tau=(m, tau_hi, tau_lo)) matches the two-launch split
+    (MEDMAMBA_NSPLIT_FUSED=0) on the Pallas kernel path, outputs and grads.
+    Companion of the kernel-level tests in test_selective_scan.py -- this one
+    goes through the SS2D permutation/call wiring."""
+    spec = ("nsplit", (2, 0, 3, 1), 2, 32, 16)
+    model = _tiny_model().clone(scan_impl="pallas", scan_tau=(spec, 16))
+    params, bs = _init(model)
+    x = jnp.asarray(np.random.default_rng(11).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32))
+
+    def run():
+        def loss(p):
+            y = model.apply({"params": p, "batch_stats": bs}, x, True)
+            return jnp.sum(y ** 2), y
+
+        (_, y), g = jax.value_and_grad(loss, has_aux=True)(params)
+        return y, g
+
+    monkeypatch.delenv("MEDMAMBA_NSPLIT_FUSED", raising=False)
+    y_fused, g_fused = run()
+    monkeypatch.setenv("MEDMAMBA_NSPLIT_FUSED", "0")
+    y_two, g_two = run()
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_two),
+                               rtol=1e-5, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-5),
+        g_fused, g_two)
