@@ -273,7 +273,14 @@ class SS2D(nn.Module):
             # the N axis lets the selector run low-|A| state dims at a larger
             # tau than the worst lane allows (the "nsplit" mixed-tau path)
             seg_d = jnp.max(seg, axis=(0, 3))            # (2, d_inner)
-            budgets.append(jnp.max(seg_d[:, :, None] * abs_a, axis=(0, 1)))
+            full = seg_d[:, :, None] * abs_a             # (2, d_inner, N)
+            budgets.append(jnp.max(full, axis=(0, 1)))
+            if os.environ.get("MEDMAMBA_SOW_DN_BUDGETS") == "1":
+                # diagnostic: keep the per-(d, n) matrix (max over direction
+                # pairs) so tools/probe_dn_budgets.py can assess whether a
+                # channel-level mixed-tau split has headroom beyond the
+                # per-state-dim one. Never sown in production calibration.
+                self.sow("scan_stats", "seg_budget_dn", jnp.max(full, axis=0))
         self.sow("scan_stats", "seg_budget", jnp.stack(budgets))  # (|cand|, N)
 
     @nn.compact
