@@ -343,20 +343,6 @@ class SS2D(nn.Module):
         Ds_f = Ds.astype(jnp.float32).reshape(k, d_inner)
         bias_f = dt_projs_bias.astype(jnp.float32)
 
-        # Both direction-pairs' projections in ONE batched dot each: weight
-        # index layout is [pair j][direction k] (dir 0/1 data feeds weights
-        # 0/1 forward and 2/3 reversed), so reshaping the stacked (4, ...)
-        # parameters to (2, 2, ...) pairs each weight with its data slice.
-        # vs the previous per-pair einsums this halves the dot launches and
-        # doubles the x_proj dot's output rows (2c: better MXU row tiling at
-        # c = dt_rank + 2n ~ 38); per-output-element contraction order is
-        # unchanged (bit-identical results).
-        wp4 = x_proj_weight.reshape(2, 2, dt_rank + 2 * n, d_inner)
-        x_dbl = jnp.einsum("bkdl,jkcd->bjkcl", xs, wp4.astype(xs.dtype))
-        dts4, Bs4, Cs4 = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=3)
-        wdt4 = dt_projs_weight.reshape(2, 2, d_inner, dt_rank)
-        dts4 = jnp.einsum("bjkrl,jkdr->bjkdl", dts4, wdt4.astype(dts4.dtype))
-
         # Mixed-tau n-split ("nsplit" spec from train.tau_select): the scan's
         # exactness bound is per (d, n) lane and y = sum_n C_n * h_n, so state
         # dims whose |A[:, n]| * seg_sum(dt) fits a larger tau's budget run
@@ -371,30 +357,61 @@ class SS2D(nn.Module):
         # MEDMAMBA_NSPLIT_FUSED=0 restores the two-launch split for A/B
         # measurement.
         tau_spec = self.scan_tau
+        scan_perm = None
         if isinstance(tau_spec, tuple) and tau_spec and tau_spec[0] == "nsplit":
             _, perm, m, tau_hi, tau_lo = tau_spec
+            # The lane permutation is folded into the PARAMETERS (x_proj's
+            # B/C row blocks below and A's state columns): parameter-sized
+            # gathers whose backward is a parameter-sized scatter, instead
+            # of gathering the (B, 2, N, Lp) Bs/Cs activation cubes every
+            # step (and scattering their cotangents back) -- bit-identical
+            # operands reach the kernel either way. Parts are then
+            # contiguous N slices.
+            scan_perm = list(perm)
             if os.environ.get("MEDMAMBA_NSPLIT_FUSED", "1") != "0":
-                n_parts = ((list(perm), (m, tau_hi, tau_lo)),)
+                n_parts = ((None, (m, tau_hi, tau_lo)),)
             else:
-                n_parts = ((list(perm[:m]), tau_hi), (list(perm[m:]), tau_lo))
+                n_parts = (((0, m), tau_hi), ((m, n), tau_lo))
         else:
             n_parts = ((None, tau_spec),)
+        As_scan = As if scan_perm is None else As[:, :, scan_perm]
+
+        # Both direction-pairs' projections in ONE batched dot each: weight
+        # index layout is [pair j][direction k] (dir 0/1 data feeds weights
+        # 0/1 forward and 2/3 reversed), so reshaping the stacked (4, ...)
+        # parameters to (2, 2, ...) pairs each weight with its data slice.
+        # vs the previous per-pair einsums this halves the dot launches and
+        # doubles the x_proj dot's output rows (2c: better MXU row tiling at
+        # c = dt_rank + 2n ~ 38); per-output-element contraction order is
+        # unchanged (bit-identical results).
+        wp4 = x_proj_weight.reshape(2, 2, dt_rank + 2 * n, d_inner)
+        if scan_perm is not None:
+            wp4 = wp4[:, :, [*range(dt_rank),
+                             *(dt_rank + p for p in scan_perm),
+                             *(dt_rank + n + p for p in scan_perm)], :]
+        x_dbl = jnp.einsum("bkdl,jkcd->bjkcl", xs, wp4.astype(xs.dtype))
+        dts4, Bs4, Cs4 = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=3)
+        wdt4 = dt_projs_weight.reshape(2, 2, d_inner, dt_rank)
+        dts4 = jnp.einsum("bjkrl,jkdr->bjkdl", dts4, wdt4.astype(dts4.dtype))
 
         def scan_pair(j, rev):  # j = 0: dirs (0, 1) fwd | 1: dirs (2, 3) rev
             ks = (2 * j, 2 * j + 1)
             dts, Bs, Cs = dts4[:, j], Bs4[:, j], Cs4[:, j]
             if self.is_mutable_collection("scan_stats"):
+                # budgets are sown in CANONICAL lane order (dts is
+                # permutation-free and As is the unpermuted parameter), so
+                # tau_select's emitted perm always refers to canonical lanes
                 self._sow_seg_budgets(dts, bias_f[ks[0]:ks[1] + 1],
                                       As[ks[0]:ks[1] + 1], valid_len=vlen)
-            A2 = As[ks[0]:ks[1] + 1]
+            A2 = As_scan[ks[0]:ks[1] + 1]
             y = None
             for idx, tau_c in n_parts:
                 yk = selective_scan(
                     u, dts.reshape(b, 2 * d_inner, lpad),
-                    (A2 if idx is None else A2[:, :, idx]).reshape(
-                        2 * d_inner, -1),
-                    Bs if idx is None else Bs[:, :, idx],
-                    Cs if idx is None else Cs[:, :, idx],
+                    (A2 if idx is None
+                     else A2[:, :, idx[0]:idx[1]]).reshape(2 * d_inner, -1),
+                    Bs if idx is None else Bs[:, :, idx[0]:idx[1]],
+                    Cs if idx is None else Cs[:, :, idx[0]:idx[1]],
                     # the D*u skip term belongs to the whole output: first
                     # part only (None = zeros for the rest)
                     Ds_f[ks[0]:ks[1] + 1].reshape(-1) if y is None else None,

@@ -102,11 +102,16 @@ def measure_seg_budgets(model, params, batch_stats, images, *,
     out: Dict[int, np.ndarray] = {}
     for path, leaf in leaves:
         stage = None
+        is_budget = False
         for k in path:
             name = getattr(k, "key", None)
             if isinstance(name, str) and name.startswith("layers_"):
                 stage = int(name.split("_")[1])
-        if stage is None:
+            # match the sown key EXACTLY: other scan_stats leaves (e.g. the
+            # env-gated per-(d, n) diagnostic 'seg_budget_dn') must not be
+            # shape-guessed into the budget matrix (code-review round 3)
+            is_budget = is_budget or name == "seg_budget"
+        if stage is None or not is_budget:
             continue
         arr = np.asarray(leaf, np.float32)
         if arr.ndim != 2 or arr.shape[0] != len(SCAN_TAU_CANDIDATES):
@@ -144,16 +149,31 @@ def _packing_cap(seq_len: int, chunk: int = DEFAULT_CHUNK) -> int:
     return cap
 
 
+# Per-lane relative scan cost vs segment length, fit to the measured
+# per-stage kernel times (fwd+bwd, v5e, DESIGN.md round-3 table): tau 16 ->
+# 128 cost ~2.1x over the 8x segment-length span -> cost(tau) ~
+# (chunk/tau)**0.36. Only RATIOS between candidates matter here.
+_COST_ALPHA = 0.36
+
+
+def _lane_cost(tau: int, chunk: int = DEFAULT_CHUNK) -> float:
+    return (chunk / tau) ** _COST_ALPHA
+
+
 def _pick_stage_tau(b: Optional[np.ndarray], cap: int, limit: float):
     """Per-stage policy on a (|candidates|, N) per-n budget matrix.
 
     Returns the largest candidate tau whose budget fits for EVERY state dim
-    (the round-3 behavior), or -- when a larger candidate fits for at least
-    N_GRANULE state dims -- a mixed-tau spec ``("nsplit", perm, m, tau_hi,
-    tau_lo)``: state dims ``perm[:m]`` (budget-ascending order) run at
-    ``tau_hi`` in their own kernel launch, the rest at ``tau_lo``, and SS2D
-    adds the partial y's (exact: y = sum_n C_n h_n and the bound is per
-    (d, n) lane). ``b`` is None for unmeasured stages -> the safe floor.
+    (the round-3 behavior), or a mixed-tau spec ``("nsplit", perm, m,
+    tau_hi, tau_lo)``: state dims ``perm[:m]`` (budget-ascending order) run
+    their within-chunk machinery at ``tau_hi``, the rest at ``tau_lo``
+    (exact: y = sum_n C_n h_n and the bound is per (d, n) lane). Every
+    (tau_hi, m, tau_lo) combination with m a granule multiple is scored by
+    the modeled per-lane cost ``_lane_cost`` and the cheapest wins -- taking
+    the LARGEST fitting tau_hi unconditionally could pick 8 lanes @128 +
+    56 @32 over the far cheaper 56 @64 + 8 @32 when mid-tau coverage is
+    much wider (code-review round-3 finding). ``b`` is None for unmeasured
+    stages -> the safe floor.
     """
     tau = SAFE_FLOOR
     if b is None:
@@ -164,30 +184,35 @@ def _pick_stage_tau(b: Optional[np.ndarray], cap: int, limit: float):
     nst = b.shape[1]
     if nst < 2 * N_GRANULE or nst % N_GRANULE:
         return tau
-    best = None
+    best_spec: Any = tau
+    best_cost = nst * _lane_cost(tau)
     for i, cand in enumerate(SCAN_TAU_CANDIDATES):
-        if cand <= cap and cand > tau:
-            m = (int(np.sum(b[i] <= limit)) // N_GRANULE) * N_GRANULE
-            if N_GRANULE <= m < nst:
-                best = (i, cand, m)
-    if best is None:
-        return tau
-    i, tau_hi, m = best
-    order = np.argsort(b[i], kind="stable")
-    rest = order[m:]
-    tau_lo = SAFE_FLOOR
-    for j, cand in enumerate(SCAN_TAU_CANDIDATES):
-        if cand <= cap and float(np.max(b[j][rest])) <= limit:
-            tau_lo = max(tau_lo, cand)
-    if tau_lo >= tau_hi:  # pragma: no cover -- would have been a full fit
-        return tau_lo
-    # Canonicalize: only the PARTITION matters (any lane order within a part
-    # is numerically valid), so sort each part ascending -- epoch-to-epoch
-    # budget jitter that reorders lanes WITHIN a part then cannot change the
-    # spec and force a pointless retrace/recompile of the train step.
-    perm = tuple(sorted(int(v) for v in order[:m])) + \
-        tuple(sorted(int(v) for v in rest))
-    return ("nsplit", perm, m, tau_hi, tau_lo)
+        if cand > cap or cand <= SAFE_FLOOR:
+            continue
+        m = (int(np.sum(b[i] <= limit)) // N_GRANULE) * N_GRANULE
+        if not (N_GRANULE <= m < nst):
+            continue  # cand fits (almost) no lanes, or fits all of them
+        order = np.argsort(b[i], kind="stable")
+        rest = order[m:]
+        tau_lo = SAFE_FLOOR
+        for j, lo_cand in enumerate(SCAN_TAU_CANDIDATES):
+            if (lo_cand < cand and lo_cand <= cap
+                    and float(np.max(b[j][rest])) <= limit):
+                tau_lo = max(tau_lo, lo_cand)
+        if tau_lo >= cand:  # pragma: no cover -- would have been a full fit
+            continue
+        cost = m * _lane_cost(cand) + (nst - m) * _lane_cost(tau_lo)
+        if cost < best_cost - 1e-9:
+            best_cost = cost
+            # Canonicalize: only the PARTITION matters (any lane order within
+            # a part is numerically valid), so sort each part ascending --
+            # epoch-to-epoch budget jitter that reorders lanes WITHIN a part
+            # then cannot change the spec and force a pointless
+            # retrace/recompile of the train step.
+            perm = tuple(sorted(int(v) for v in order[:m])) + \
+                tuple(sorted(int(v) for v in rest))
+            best_spec = ("nsplit", perm, m, cand, tau_lo)
+    return best_spec
 
 
 def select_scan_tau(model, params, batch_stats, images, *,

@@ -137,6 +137,53 @@ def test_pick_stage_tau_policy():
     assert _pick_stage_tau(b, cap=128, limit=limit) == 64
 
 
+def test_pick_stage_tau_prefers_wider_mid_tau_coverage():
+    """The spec is chosen by modeled cost, not by largest tau_hi: 8 lanes
+    @128 + 56 @32 must lose to 56 @64 + 8 @32 (code-review round-3 finding:
+    the old policy always took the largest fitting candidate as tau_hi)."""
+    from medmamba_tpu.train.tau_select import _pick_stage_tau
+
+    n = 64
+    b32 = np.full(n, 100.0, np.float32)   # tau=32 fits every lane
+    b64 = np.full(n, 120.0, np.float32)
+    b64[-8:] = 500.0                      # 56 lanes fit tau=64
+    b128 = np.full(n, 500.0, np.float32)
+    b128[:8] = 120.0                      # only 8 lanes fit tau=128
+    spec = _pick_stage_tau(np.stack([b32, b64, b128]), cap=128, limit=144.0)
+    assert spec[0] == "nsplit" and spec[2:] == (56, 64, 32)
+    # and when tau=128 coverage is wide, the large-hi split still wins
+    b128_wide = np.full(n, 120.0, np.float32)
+    b128_wide[-8:] = 500.0
+    b64_all = np.full(n, 120.0, np.float32)
+    spec = _pick_stage_tau(np.stack([b32, b64_all, b128_wide]),
+                           cap=128, limit=144.0)
+    assert spec[0] == "nsplit" and spec[2:] == (56, 128, 64)
+
+
+def test_budget_filter_ignores_foreign_scan_stats_leaves(monkeypatch):
+    """measure_seg_budgets must key on the sown name 'seg_budget', not on
+    leaf shape: with the diagnostic per-(d, n) sow enabled the collection
+    carries extra 2-D leaves that must not merge into the budget matrix."""
+    model = _tiny_model()
+    params, bs = _init(model)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32))
+    from medmamba_tpu.train.tau_select import _calib_fn
+
+    clean = measure_seg_budgets(model, params, bs, x)
+    # the calibration jit is lru-cached and the sow flag is read at trace
+    # time: clear so the diagnostic leaves actually appear (and clear again
+    # after, so the diagnostic trace never leaks into other tests)
+    _calib_fn.cache_clear()
+    monkeypatch.setenv("MEDMAMBA_SOW_DN_BUDGETS", "1")
+    try:
+        with_dn = measure_seg_budgets(model, params, bs, x)
+    finally:
+        _calib_fn.cache_clear()
+    for s in clean:
+        np.testing.assert_array_equal(clean[s], with_dn[s])
+
+
 def test_nsplit_model_matches_unsplit():
     """A model cloned with an nsplit spec produces the same outputs and
     gradients as the plain-tau model (exercises the SS2D split call path:

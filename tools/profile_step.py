@@ -91,10 +91,17 @@ def main():
     import csv as _csv
     import json as _json
 
-    if data.lstrip().startswith("[{") or data.lstrip().startswith("{"):
+    body = data.lstrip()
+    if body.startswith("google.visualization"):
+        # the gviz JSONP transport: google.visualization.Query.setResponse(
+        # {...}); -- unwrap to the inner JSON table
+        body = body[body.index("(") + 1:body.rindex(")")]
+    if body.startswith("[{") or body.startswith("{"):
         # xprof >= 2.x returns the gviz-JSON table regardless of tqx=out:csv
-        tab = _json.loads(data)
+        tab = _json.loads(body)
         tab = tab[0] if isinstance(tab, list) else tab
+        if "table" in tab:  # setResponse payload nests it under 'table'
+            tab = tab["table"]
         ids = [c["id"] for c in tab["cols"]]
         rows = [{ids[i]: (cell or {}).get("v") for i, cell in
                  enumerate(r["c"])} for r in tab["rows"]]
@@ -103,6 +110,12 @@ def main():
     device = [r for r in rows
               if str(r.get("Host/device", r.get("host_or_device",
                                                 ""))).lower() != "host"]
+    if not device:
+        # an unrecognized table form must fail loudly, not print a silently
+        # wrong "0.00 ms" report
+        print(f"no device rows parsed from the op-stats table ({csv_path})",
+              file=sys.stderr)
+        sys.exit(1)
 
     def col(r, *names, default="0"):
         for n in names:
