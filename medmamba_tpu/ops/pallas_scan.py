@@ -308,7 +308,7 @@ def _seg_scan_rev(p, z, tau: int, t_len: int):
     return x
 
 
-def _matmul_t(x, m, hi_fidelity: bool = False):
+def _matmul_t(x, m, hi_fidelity: bool = False, adjoint: bool = False):
     """Contract the last (T) axis of x with rows of the (T, K) matrix m.
 
     Collapsed to a plain (M, K) @ (K, N) so Mosaic maps it straight onto the
@@ -323,12 +323,31 @@ def _matmul_t(x, m, hi_fidelity: bool = False):
         2 MXU passes instead of HIGHEST's 6.
       * HIGHEST (``hi_fidelity=True``, used for the dt cumsum whose absolute
         error budget is tighter -- g = A*cumsum(dt) sits inside an exp).
+
+    ``adjoint=True`` marks the backward kernel's cube contractions (the
+    within-chunk h recompute and the adjoint eq-cumsum): those feed only
+    GRADIENTS, whose error budget is set by the bf16 cotangent rounding the
+    block-dtype model applies anyway (~4e-3 relative), not by the forward's
+    1e-3 logit-parity tolerance. MEDMAMBA_SSD_PREC_BWD selects their mode
+    separately (same values); unset, they inherit MEDMAMBA_SSD_PREC.
+
+    MEASURED (v5e-1, 2026-08-19, tau=128 grad): PREC_BWD=default (one MXU
+    pass instead of split2's two, grad error 2.5e-3 vs reference) is
+    SLIGHTLY SLOWER -- stage-1 37.5 -> 39.0 ms, stage-2 20.7 -> 22.0,
+    stages 3/4 neutral. The MXU matmuls are fully latency-hidden behind the
+    kernel's VPU passes, so halving MXU work buys nothing and DEFAULT's
+    internal fp32->bf16 rounding costs an extra VPU op that split2's hi/lo
+    casts apparently overlap better. Default stays inherit(split2); the
+    knob remains for re-measurement on future hardware where the MXU:VPU
+    balance differs.
     """
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     dn = (((1,), (0,)), ((), ()))
     mode = "highest" if hi_fidelity else os.environ.get(
         "MEDMAMBA_SSD_PREC", "split2")
+    if adjoint and not hi_fidelity:
+        mode = os.environ.get("MEDMAMBA_SSD_PREC_BWD", mode)
     if x2.dtype == jnp.bfloat16:
         # bf16 cube mode: operands already carry only 8 mantissa bits --
         # one DEFAULT pass with fp32 accumulation is exact for them
@@ -438,7 +457,8 @@ def _seg_broadcast(vals, tau: int, chunk: int):
 
 
 def _ssd_core_compact(dt, u, A, Bc, chunk: int, tau: int, h0,
-                      reverse: bool = False, pitch: Optional[int] = None):
+                      reverse: bool = False, pitch: Optional[int] = None,
+                      adjoint: bool = False):
     """Compact-boundary SSD forward machinery (round 3).
 
     Same closed form as _ssd_forward_core, but the segment-boundary
@@ -457,11 +477,13 @@ def _ssd_core_compact(dt, u, A, Bc, chunk: int, tau: int, h0,
     (processing order, packed-element resets) is resolved at trace time,
     so the packed path needs no runtime masks here at all.
 
-    Returns (E, F, ehs, ps, GvT, h_last):
+    Returns (E, F, ehs, ps, GvT, h_last, dub):
       E/F: centered decay cubes (Bb, Db, N, T), compute dtype;
       ehs/ps: per-segment half/full decays, nseg-lists of (Bb, Db, N);
       GvT: G + broadcast(eh * hin), i.e. h_all = E * GvT;
-      h_last: chunk-exit state (Bb, Db, N) fp32.
+      h_last: chunk-exit state (Bb, Db, N) fp32;
+      dub: the dt*u (x) B cube (computed here for w anyway -- the backward
+      reuses it instead of spending a cube pass rebuilding it).
     """
     cdt = _compute_dtype()
     nseg = chunk // tau
@@ -475,11 +497,12 @@ def _ssd_core_compact(dt, u, A, Bc, chunk: int, tau: int, h0,
     g = jnp.clip(A[None, :, :, None] * S2[:, :, None, :], -_CLIP, _CLIP)
     E = jnp.exp(g).astype(cdt)                              # (Bb, Db, N, T)
     F = jnp.exp(-g).astype(cdt)
-    # b_t = F * dt*u*B fused (no materialized dub in the forward)
     du = dt * u
-    w = F * (du.astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None])
+    dub = du.astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
+    w = F * dub                                             # b_t = F*dt*u*B
     # within-segment scan (MXU) + per-segment totals
-    gg = _matmul_t(w, jnp.concatenate([m_dir, m_pick], axis=1))
+    gg = _matmul_t(w, jnp.concatenate([m_dir, m_pick], axis=1),
+                   adjoint=adjoint)
     G = gg[..., :chunk]
     # per-segment pieces: eh_j = E at segment j's end = exp(A * send_j / 2)
     # (exponent <= 0: underflows to 0 gracefully, no clip needed)
@@ -507,12 +530,12 @@ def _ssd_core_compact(dt, u, A, Bc, chunk: int, tau: int, h0,
     # (the tau=chunk fast path) it is a free lane-broadcast; otherwise a
     # select chain / pick-matrix matmul (_seg_broadcast). h_all = E*(G + vT).
     vT = _seg_broadcast([ehs[j] * hins[j] for j in range(nseg)], tau, chunk)
-    return E, F, ehs, ps, G + vT, h_last
+    return E, F, ehs, ps, G + vT, h_last, dub
 
 
 def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
                       h0=None, hin_bcast=None, reverse: bool = False,
-                      pitch: Optional[int] = None):
+                      pitch: Optional[int] = None, adjoint: bool = False):
     """Shared fwd computation.
 
     dt: (Bb, Db, T) post-softplus (masked 0 in padded tail), u: (Bb, Db, T),
@@ -551,10 +574,11 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
 
     h_last = None
     if hin_bcast is not None:
-        G = _matmul_t(w, m_dir)                  # within-segment scan (MXU)
+        G = _matmul_t(w, m_dir, adjoint=adjoint)  # within-segment scan (MXU)
     else:
         # one merged matmul: within-segment scan + segment totals
-        ggsum = _matmul_t(w, jnp.concatenate([m_dir, m_seg], axis=1))
+        ggsum = _matmul_t(w, jnp.concatenate([m_dir, m_seg], axis=1),
+                          adjoint=adjoint)
         G, gsum = ggsum[..., :chunk], ggsum[..., chunk:]
         # segment-boundary recurrence  Hend_j = P_j Hend_{prev} + Z_j, solved
         # as a tau-stride doubling scan over segment-constant (..., T) lanes
@@ -594,7 +618,7 @@ def _part_fwd(dt, u, A, Bc, Cc, h0, chunk: int, tau: int, rev: bool,
     output contribution y_p = sum_n C_n h_n (fp32, no D*u) and its chunk-exit
     state."""
     if _use_compact(chunk, tau):
-        E, _F, _ehs, _ps, GvT, h_last = _ssd_core_compact(
+        E, _F, _ehs, _ps, GvT, h_last, _dub = _ssd_core_compact(
             dt, u, A, Bc, chunk, tau, h0=h0, reverse=rev, pitch=pitch)
         return jnp.sum(E * GvT * Cc[:, None], axis=2), h_last
     _E, _F, _eh, _G, _hb, h_all, h_last, _dub = _ssd_forward_core(
@@ -883,12 +907,13 @@ def _part_bwd(dt, u, gy, A, Bc, Cc, h0, carry_in, chunk: int, tau: int,
         # cross-segment carries V as per-segment (Bb, Db, N) tensors
         nseg = chunk // tau
         m_pick = _pick_matrix(chunk, tau)
-        E, F, ehs, ps, GvT, _hl = _ssd_core_compact(
-            dt, u, A, Bc, chunk, tau, h0=h0, reverse=rv_dir, pitch=pitch)
+        E, F, ehs, ps, GvT, _hl, dub = _ssd_core_compact(
+            dt, u, A, Bc, chunk, tau, h0=h0, reverse=rv_dir, pitch=pitch,
+            adjoint=True)
         h_all = E * GvT
-        dub = (dt * u).astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
         eq = E * (Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :])
-        rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_pick], axis=1))
+        rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_pick], axis=1),
+                        adjoint=True)
         rc = rcg[..., :chunk]
         # adjoint boundary recurrence V_prev = p_j V + E_end_j sum_j(Eq),
         # processed opposite to the primal direction, as a static loop on
@@ -908,7 +933,8 @@ def _part_bwd(dt, u, gy, A, Bc, Cc, h0, carry_in, chunk: int, tau: int,
         dh = F * (rc + vaT)
     else:
         E, F, ehalf, _G, _hb, h_all, _h_last, dub = _ssd_forward_core(
-            dt, u, A, Bc, chunk, tau, h0=h0, reverse=rv_dir, pitch=pitch)
+            dt, u, A, Bc, chunk, tau, h0=h0, reverse=rv_dir, pitch=pitch,
+            adjoint=True)
 
         # adjoint scan: dh_t = F_t * (revcumsum_t(E q) + E_end_j V_j)
         # with the cross-segment carries V solved by a tau-stride
@@ -916,7 +942,8 @@ def _part_bwd(dt, u, gy, A, Bc, Cc, h0, carry_in, chunk: int, tau: int,
         # (everything below is the exact lane mirror when rv_dir)
         q = Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :]
         eq = E * q                                 # (Bb, Db, N, T) cdt
-        rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1))
+        rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1),
+                        adjoint=True)
         rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]  # cumsum|totals
         carry_b = jnp.broadcast_to(carry_in[..., None],
                                    carry_in.shape + (chunk,))

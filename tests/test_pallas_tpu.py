@@ -155,6 +155,36 @@ def test_pallas_grads_bf16_cube_mode(monkeypatch):
         assert np.abs(gp - ga).max() / scale < 2e-2, name
 
 
+def test_pallas_grads_bwd_default_precision(monkeypatch):
+    """MEDMAMBA_SSD_PREC_BWD=default (opt-in): the backward kernel's cube
+    contractions run one DEFAULT-precision MXU pass instead of split2's two.
+    Measured 2026-08-19: grads land ~2.5e-3 relative of the fp32 reference
+    (the bf16-cotangent noise scale) but the mode is SLOWER on v5e (the MXU
+    passes are latency-hidden; see _matmul_t docstring) -- kept as a knob for
+    hardware where the MXU:VPU balance differs; this pins its grad surface."""
+    monkeypatch.setenv("MEDMAMBA_SSD_PREC_BWD", "default")
+    rng = np.random.default_rng(13)
+    u, delta, A, B, C, D, bias = _make(rng, b=2, d=32, n=16, g=2, l=256)
+    args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+    gyw = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32))
+
+    def loss(fn):
+        def f(a):
+            y = fn(a[0], a[1], a[2], a[3], a[4], a[5], delta_bias=a[6],
+                   delta_softplus=True)
+            return jnp.sum(y * gyw)
+        return f
+
+    g_p = jax.grad(loss(selective_scan_pallas))(args)
+    monkeypatch.delenv("MEDMAMBA_SSD_PREC_BWD")
+    g_a = jax.grad(loss(selective_scan_assoc))(args)
+    for name, gp, ga in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_p, g_a):
+        gp, ga = np.asarray(gp), np.asarray(ga)
+        scale = np.abs(ga).max() + 1e-6
+        assert np.abs(gp - ga).max() / scale < 1e-2, name
+
+
 def test_pallas_grads_vs_assoc():
     rng = np.random.default_rng(2)
     u, delta, A, B, C, D, bias = _make(rng, b=2, d=16, n=8, g=2, l=200)
