@@ -407,9 +407,16 @@ def _boundary_impl() -> str:
     return os.environ.get("MEDMAMBA_SCAN_BOUNDARY", "auto")
 
 
-def _use_compact(chunk: int, tau: int) -> bool:
+def _use_compact(chunk: int, tau: int, pitch: Optional[int] = None) -> bool:
     mode = _boundary_impl()
     if mode == "auto":
+        # nseg==1: the boundary machinery degenerates to a free
+        # lane-broadcast. pitch==tau (packed, one segment per element, all
+        # cross-segment state trace-time zero) looked like it should also
+        # favor compact, but MEASURED NEUTRAL on v5e (stage-4 tau=64 grad
+        # in-chain A/B: cube 8.17/7.57 vs compact 7.40/7.96 ms, overlapping)
+        # -- the packed kernel is bound by passes both lowerings share, so
+        # auto keeps the single well-trodden cube path for nseg>1.
         return chunk // tau == 1
     return mode == "compact"
 
@@ -617,7 +624,7 @@ def _part_fwd(dt, u, A, Bc, Cc, h0, chunk: int, tau: int, rev: bool,
     length ``tau`` on (possibly N-sliced) A/Bc/Cc/h0. Returns the part's
     output contribution y_p = sum_n C_n h_n (fp32, no D*u) and its chunk-exit
     state."""
-    if _use_compact(chunk, tau):
+    if _use_compact(chunk, tau, pitch):
         E, _F, _ehs, _ps, GvT, h_last, _dub = _ssd_core_compact(
             dt, u, A, Bc, chunk, tau, h0=h0, reverse=rev, pitch=pitch)
         return jnp.sum(E * GvT * Cc[:, None], axis=2), h_last
@@ -901,7 +908,7 @@ def _part_bwd(dt, u, gy, A, Bc, Cc, h0, carry_in, chunk: int, tau: int,
     cdt = _compute_dtype()
     m_cum, m_rev, m_seg = _seg_matrices(chunk, tau)
     m_adj = m_cum if rv_dir else m_rev
-    if _use_compact(chunk, tau):
+    if _use_compact(chunk, tau, pitch):
         # recompute (compact boundary) + compact adjoint scan:
         # dh_t = F_t * (adjcumsum_t(E q) + E_end_j * V_j), with the
         # cross-segment carries V as per-segment (Bb, Db, N) tensors
