@@ -145,6 +145,58 @@ def main():
                       "scan_tau": _tau_json(taus)}}))
         return
 
+    if os.environ.get("BENCH_MODE") == "sustained":
+        # VERDICT r3 #5: sustained training throughput WITH the per-epoch
+        # tau recalibration in the loop (the steady-state headline omits
+        # it). BENCH_EPOCHS x BENCH_STEPS steps; every epoch re-runs
+        # select_scan_tau exactly like the train CLI and swaps the model
+        # clone when the selection changes. Reported sustained img/s
+        # includes calibration + any retrace time after the first epoch
+        # (epoch 1 is warmup: first-compile time is a one-off, not a
+        # sustained cost).
+        from medmamba_tpu.data.transforms import preprocess
+        from medmamba_tpu.train.tau_select import select_scan_tau
+
+        n_epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+        calib = jax.jit(lambda im: preprocess(
+            jax.random.key(0), im, size=224, augment=False))
+
+        @functools.partial(jax.jit, donate_argnames=("s",))
+        def run_epoch(s, n):
+            def body(i, carry):
+                st, _ = carry
+                st, loss = train_step(st, images, labels, key, augment=True)
+                return (st, loss)
+            return jax.lax.fori_loop(
+                0, n, body, (s, jnp.zeros((), jnp.float32)), unroll=False)
+
+        def one_epoch(s, model_, cur, n):
+            s, loss = run_epoch(s, n)
+            float(loss)
+            new = select_scan_tau(model_, s.params, s.batch_stats,
+                                  calib(images))
+            if new != cur:
+                model_ = model_.clone(scan_tau=new)
+                s = s.replace(apply_fn=model_.apply)
+            return s, model_, new
+
+        cur = taus
+        state, model, cur = one_epoch(state, model, cur, warmup)  # compile
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            state, model, cur = one_epoch(state, model, cur, steps)
+        dt = time.perf_counter() - t0
+        ips = n_epochs * steps * batch / dt / len(jax.devices())
+        print(json.dumps({
+            "metric": f"images/sec/chip SUSTAINED, medmamba_{size.lower()} "
+                      "train 224x224 bf16 (per-epoch tau recalibration "
+                      "included)",
+            "value": round(ips, 2), "unit": "img/s/chip",
+            "vs_baseline": round(ips / A100_BASELINE_IMG_PER_SEC, 3),
+            "extra": {"epochs": n_epochs, "steps_per_epoch": steps,
+                      "batch": batch, "scan_tau": _tau_json(cur)}}))
+        return
+
     # N steps inside ONE jitted fori_loop: a single dispatch + single sync, so
     # host<->device round-trip latency (large through a remote TPU tunnel) is
     # paid once, and difference timing cancels even that.

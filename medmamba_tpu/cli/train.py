@@ -135,8 +135,17 @@ def main(argv=None):
 
     ckpt.save_class_indices(args.save_dir, class_indices)
 
-    train_loader = BatchLoader(train_ds, batch_size, shuffle=True, seed=args.seed)
-    val_loader = BatchLoader(val_ds, batch_size, shuffle=False, seed=args.seed)
+    # Multi-host pods: every process runs this CLI; the loaders yield only
+    # this process's slice of each (seed-identical) global batch and
+    # shard_batch reassembles the global array across hosts. process_count
+    # is 1 on single-controller setups -- identical behavior to before.
+    pi, pc = jax.process_index(), jax.process_count()
+    train_loader = BatchLoader(train_ds, batch_size, shuffle=True,
+                               seed=args.seed, process_index=pi,
+                               process_count=pc)
+    val_loader = BatchLoader(val_ds, batch_size, shuffle=False,
+                             seed=args.seed, process_index=pi,
+                             process_count=pc)
     steps_per_epoch = len(train_loader)
     log.info("Using %d train / %d val images, %d classes. Epochs %d, batch %d, lr %g",
              len(train_ds), len(val_ds), num_classes, epochs, batch_size, lr)

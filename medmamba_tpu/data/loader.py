@@ -42,13 +42,28 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 42, drop_last: bool = False,
                  prefetch: int = 2, pad_to_full: bool = True,
-                 pad_multiple: int = 1):
+                 pad_multiple: int = 1, process_index: int = 0,
+                 process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Multi-host data parallelism (SURVEY §2.7 DCN axis): with
+        # ``process_count`` > 1 every process builds the SAME seeded global
+        # shuffle, then yields only its contiguous 1/process_count slice of
+        # each global batch -- ``parallel.mesh.shard_batch`` reassembles the
+        # global array from the per-process slices
+        # (jax.make_array_from_process_local_data). batch_size stays the
+        # GLOBAL batch so recipes are process-count-invariant.
+        assert 0 <= process_index < process_count, (process_index,
+                                                    process_count)
+        if process_count > 1:
+            assert pad_to_full, "multi-host loading requires pad_to_full " \
+                "(every process must yield the same static local shape)"
+        self.process_index = process_index
+        self.process_count = process_count
         # pad the final partial batch to the full batch size with label -1
         # (keeps a single static shape -> one XLA compile; the trainer masks
         # label<0 in loss/accuracy)
@@ -83,6 +98,35 @@ class BatchLoader:
         rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
         return rng.permutation(n)
 
+    def _materialize(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch this process's slice of one GLOBAL batch (indices ``idx``),
+        padded rows (repeat-last image, label -1) included.
+
+        Single-process (the default): the whole batch, padded to
+        ``padded_batch_size`` as before. Multi-process: global row range
+        [pi*lb, (pi+1)*lb) of the padded global batch, lb = padded/count --
+        every process fetches only its own rows from disk."""
+        target = self.padded_batch_size if self.pad_to_full else len(idx)
+        pc, pi = self.process_count, self.process_index
+        assert target % pc == 0, (target, pc)
+        lb = target // pc
+        lo = pi * lb
+        real = idx[lo:min(lo + lb, len(idx))]
+        if len(real) == 0:
+            # the entire local slice is padding (tiny final batch): repeat
+            # the batch's last real example, all rows masked with label -1
+            imgs, labels = self.dataset.get_batch(idx[-1:])
+            imgs = np.repeat(imgs, lb, 0)
+            labels = np.full((lb,), -1, labels.dtype)
+            return imgs, labels
+        imgs, labels = self.dataset.get_batch(real)
+        if len(real) < lb:
+            pad = lb - len(real)
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
+            labels = np.concatenate(
+                [labels, np.full((pad,), -1, labels.dtype)], 0)
+        return imgs, labels
+
     def epoch(self, epoch_idx: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = self._order(epoch_idx)
         nb = len(self)
@@ -106,16 +150,7 @@ class BatchLoader:
                     if stop.is_set():
                         return
                     idx = order[i * self.batch_size:(i + 1) * self.batch_size]
-                    imgs, labels = self.dataset.get_batch(idx)
-                    target = (self.padded_batch_size if self.pad_to_full
-                              else len(idx))
-                    if len(idx) < target:
-                        pad = target - len(idx)
-                        imgs = np.concatenate(
-                            [imgs, np.repeat(imgs[-1:], pad, 0)], 0)
-                        labels = np.concatenate(
-                            [labels, np.full((pad,), -1, labels.dtype)], 0)
-                    if not put_checking_stop((imgs, labels)):
+                    if not put_checking_stop(self._materialize(idx)):
                         return
             except BaseException as e:  # surface loader errors to the consumer
                 put_checking_stop(e)

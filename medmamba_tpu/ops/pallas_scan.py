@@ -54,6 +54,20 @@ def _interpret() -> bool:
         return False
 
 
+def _abl(tok: str) -> bool:
+    """Pass-ledger ablation switch (VERDICT r3 #1): MEDMAMBA_SCAN_ABLATE is a
+    comma-separated list of kernel pieces to stub out FOR TIMING ONLY (the
+    stubs keep every shape/dtype but break numerics). tools/pass_ledger.py
+    runs one fresh process per token and diffs the measured time to attribute
+    cost per piece. Never set in production; oracle tests run with it unset.
+
+    Tokens: clip fneg ehalf dub w boundary hall yc q adjb dh dhb gbc gadt."""
+    env = os.environ.get("MEDMAMBA_SCAN_ABLATE")
+    if not env:
+        return False
+    return tok in env.split(",")
+
+
 def _compute_dtype():
     """Scan-internal compute dtype. float32 by default (parity with the
     reference's forced-fp32 scan core, MedMamba.py:265-271); set
@@ -308,6 +322,107 @@ def _seg_scan_rev(p, z, tau: int, t_len: int):
     return x
 
 
+def _nseg2_impl() -> str:
+    """Lowering for the 2-segment boundary recurrence (tau = chunk/2 -- the
+    production lo-part regime of the fused mixed-tau n-split, where stages
+    0-2's high-|A| lanes run at tau=64 under a 128 chunk).
+
+    The generic path solves Hend_j = p_j Hend_prev + z_j with a fold + a
+    tau-stride doubling scan + a concat over full (Bb, Db, N, T) cubes
+    (~8 cube passes). At nseg == 2 the recurrence is one step, so:
+
+      * col (default): extract the per-segment (Bb, Db, N) columns of the
+        segment-constant p/z lanes, solve the step on those smalls, and
+        rebuild the entering-state broadcast with ONE broadcast + ONE select
+        (~2 cube passes + 4 lane extracts). Unlike the rejected full-compact
+        mode this touches nothing else -- no per-segment G machinery, no
+        pick-matrix, no select chains.
+      * shift: keep the fold, replace scan+concat with one shift + select
+        (~5.5 cube passes).
+      * scan: the generic machinery (measurement baseline).
+    """
+    return os.environ.get("MEDMAMBA_SCAN_NSEG2", "col")
+
+
+def _boundary_solve(ehalf, zsum, carry, tau: int, chunk: int, fwd_dir: bool,
+                    pitch: Optional[int]):
+    """Solve the segment-boundary recurrence over ``chunk // tau`` segments,
+
+        Hend_j = p_j * Hend_prev + z_j,   p_j = ehalf_j^2, z_j = ehalf_j*zsum_j,
+
+    processed left-to-right when ``fwd_dir`` (the primal forward scan / the
+    adjoint of a reversed scan) and right-to-left otherwise.
+
+    ``ehalf`` / ``zsum`` are segment-constant (Bb, Db, N, T) cubes (values
+    replicated along each tau-segment's lanes); ``carry`` (Bb, Db, N) is the
+    entering state. ``pitch`` is the packed-element pitch (reset masks
+    decouple packed elements exactly as ``_pack_reset_mask`` describes).
+    Returns ``(ent, last)``:
+
+      ent:  (Bb, Db, N, T) -- the state ENTERING each segment broadcast
+            along T (= carry for the first-processed segment);
+      last: (Bb, Db, N) -- the final carry (Hend of the last-processed
+            segment).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
+    first = (lane < tau) if fwd_dir else (lane >= chunk - tau)
+    nseg = chunk // tau
+    carry_b = jnp.broadcast_to(carry[..., None], carry.shape + (chunk,))
+    if nseg == 2 and _nseg2_impl() == "col":
+        # one-step recurrence on per-segment column extracts: no p/z cubes,
+        # no fold, no scan -- ~2 cube passes (broadcast + select) + smalls
+        if fwd_dir:
+            c0, c1 = tau - 1, chunk - 1      # first-, last-processed segment
+        else:
+            c0, c1 = chunk - 1, 0
+        e0, e1 = _col(ehalf, c0), _col(ehalf, c1)
+        z0, z1 = e0 * _col(zsum, c0), e1 * _col(zsum, c1)
+        hend0 = z0 + (e0 * e0) * carry
+        if pitch is not None:
+            # nseg==2 packing implies pitch == tau: every segment starts an
+            # element, so the second-processed segment enters with zero state
+            # (p reset-zeroed in the generic path)
+            ent = jnp.where(first, carry_b, 0.0)
+            last = z1
+        else:
+            ent = jnp.where(first, carry_b,
+                            jnp.broadcast_to(hend0[..., None],
+                                             hend0.shape + (chunk,)))
+            last = z1 + (e1 * e1) * hend0
+        return ent, last
+    p = ehalf * ehalf
+    z = ehalf * zsum
+    reset = (None if pitch is None else
+             _pack_reset_mask(fwd_dir, pitch, tau, chunk))
+    if reset is not None:
+        p = jnp.where(reset, 0.0, p)         # decouple packed elements
+    z = jnp.where(first, z + p * carry_b, z)
+    if nseg == 2:                            # shift variant: fold kept
+        if fwd_dir:
+            s = _shift_r(z, tau, 0.0)
+            last = _col(z, -1) + _col(p, -1) * _col(s, -1)
+        else:
+            s = _shift_l(z, tau, 0.0)
+            last = _col(z, 0) + _col(p, 0) * _col(s, 0)
+        ent = jnp.where(first, carry_b, s)
+        if reset is not None:
+            ent = jnp.where(reset, 0.0, ent)
+        return ent, last
+    if fwd_dir:
+        hend = _seg_scan_fwd(p, z, tau, chunk)
+        ent = jnp.concatenate([carry_b[..., :tau], hend[..., :-tau]],
+                              axis=-1)
+        last = _col(hend, -1)
+    else:
+        hend = _seg_scan_rev(p, z, tau, chunk)
+        ent = jnp.concatenate([hend[..., tau:], carry_b[..., :tau]],
+                              axis=-1)
+        last = _col(hend, 0)
+    if reset is not None:
+        ent = jnp.where(reset, 0.0, ent)
+    return ent, last
+
+
 def _matmul_t(x, m, hi_fidelity: bool = False, adjoint: bool = False):
     """Contract the last (T) axis of x with rows of the (T, K) matrix m.
 
@@ -501,12 +616,18 @@ def _ssd_core_compact(dt, u, A, Bc, chunk: int, tau: int, h0,
     s2send = _matmul_t(dt, jnp.concatenate(
         [m_dir - 0.5 * m_seg, m_pick], axis=1), hi_fidelity=True)
     S2 = s2send[..., :chunk]
-    g = jnp.clip(A[None, :, :, None] * S2[:, :, None, :], -_CLIP, _CLIP)
+    g = A[None, :, :, None] * S2[:, :, None, :]
+    if not _abl("clip"):
+        g = jnp.clip(g, -_CLIP, _CLIP)
     E = jnp.exp(g).astype(cdt)                              # (Bb, Db, N, T)
-    F = jnp.exp(-g).astype(cdt)
+    F = E if _abl("fneg") else jnp.exp(-g).astype(cdt)
     du = dt * u
-    dub = du.astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
-    w = F * dub                                             # b_t = F*dt*u*B
+    if _abl("dub"):
+        dub = jnp.broadcast_to(du.astype(cdt)[:, :, None, :],
+                               E.shape).astype(cdt)
+    else:
+        dub = du.astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
+    w = dub if _abl("w") else F * dub                       # b_t = F*dt*u*B
     # within-segment scan (MXU) + per-segment totals
     gg = _matmul_t(w, jnp.concatenate([m_dir, m_pick], axis=1),
                    adjoint=adjoint)
@@ -567,17 +688,26 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
     s2send = _matmul_t(dt, jnp.concatenate(
         [m_dir - 0.5 * m_seg, m_seg], axis=1), hi_fidelity=True)
     S2, send = s2send[..., :chunk], s2send[..., chunk:]
-    g = jnp.clip(A[None, :, :, None] * S2[:, :, None, :], -_CLIP, _CLIP)
+    g = A[None, :, :, None] * S2[:, :, None, :]
+    if not _abl("clip"):
+        g = jnp.clip(g, -_CLIP, _CLIP)
     E = jnp.exp(g).astype(cdt)                   # (Bb, Db, N, T)
     # exp runs on the VPU's transcendental path at ~zero marginal cost
     # (measured by ablation); a true divide does not
-    F = jnp.exp(-g).astype(cdt)
+    F = E if _abl("fneg") else jnp.exp(-g).astype(cdt)
     # exp(m_j/2) = decay over half a segment; exponent <= 0, no clip needed
-    ehalf = jnp.exp((0.5 * send)[:, :, None, :] * A[None, :, :, None])
+    if _abl("ehalf"):
+        ehalf = jnp.ones(E.shape, jnp.float32)
+    else:
+        ehalf = jnp.exp((0.5 * send)[:, :, None, :] * A[None, :, :, None])
 
     du = dt * u
-    dub = du.astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
-    w = F * dub                                  # b_t = dt*u*B (cdt)
+    if _abl("dub"):
+        dub = jnp.broadcast_to(du.astype(cdt)[:, :, None, :],
+                               E.shape).astype(cdt)
+    else:
+        dub = du.astype(cdt)[:, :, None, :] * Bc.astype(cdt)[:, None]
+    w = dub if _abl("w") else F * dub            # b_t = dt*u*B (cdt)
 
     h_last = None
     if hin_bcast is not None:
@@ -587,34 +717,18 @@ def _ssd_forward_core(dt, u, A, Bc, chunk: int, tau: int,
         ggsum = _matmul_t(w, jnp.concatenate([m_dir, m_seg], axis=1),
                           adjoint=adjoint)
         G, gsum = ggsum[..., :chunk], ggsum[..., chunk:]
-        # segment-boundary recurrence  Hend_j = P_j Hend_{prev} + Z_j, solved
-        # as a tau-stride doubling scan over segment-constant (..., T) lanes
-        h0_b = jnp.broadcast_to(h0[..., None], h0.shape + (chunk,))
-        p = ehalf * ehalf                        # e^{m_j}: whole-segment decay
-        z = ehalf * gsum                         # E_end_j * sum_{s in j} w_s
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
-        reset = (None if pitch is None else
-                 _pack_reset_mask(not reverse, pitch, tau, chunk))
-        if reset is not None:
-            p = jnp.where(reset, 0.0, p)         # decouple packed elements
-        if reverse:
-            # fold h0 into the first-processed (rightmost) segment
-            z = jnp.where(lane >= chunk - tau, z + p * h0_b, z)
-            hend = _seg_scan_rev(p, z, tau, chunk)
-            hin_bcast = jnp.concatenate(
-                [hend[..., tau:], h0_b[..., :tau]], axis=-1)
-            h_last = _col(hend, 0)
+        if _abl("boundary"):
+            hin_bcast, h_last = jnp.broadcast_to(
+                h0[..., None], h0.shape + (chunk,)), h0
         else:
-            z = jnp.where(lane < tau, z + p * h0_b, z)
-            hend = _seg_scan_fwd(p, z, tau, chunk)
-            # state entering each segment = previous segment's end
-            hin_bcast = jnp.concatenate(
-                [h0_b[..., :tau], hend[..., :-tau]], axis=-1)
-            h_last = _col(hend, -1)
-        if reset is not None:
-            # an element's first-processed segment enters with zero state
-            hin_bcast = jnp.where(reset, 0.0, hin_bcast)
-    h_all = E * (G + ehalf * hin_bcast)
+            # segment-boundary recurrence Hend_j = P_j Hend_{prev} + Z_j
+            # (P = ehalf^2 whole-segment decay, Z = ehalf * segment total)
+            hin_bcast, h_last = _boundary_solve(
+                ehalf, gsum, h0, tau, chunk, not reverse, pitch)
+    if _abl("hall"):
+        h_all = E * G
+    else:
+        h_all = E * (G + ehalf * hin_bcast)
     return E, F, ehalf, G, hin_bcast, h_all, h_last, dub
 
 
@@ -627,9 +741,13 @@ def _part_fwd(dt, u, A, Bc, Cc, h0, chunk: int, tau: int, rev: bool,
     if _use_compact(chunk, tau, pitch):
         E, _F, _ehs, _ps, GvT, h_last, _dub = _ssd_core_compact(
             dt, u, A, Bc, chunk, tau, h0=h0, reverse=rev, pitch=pitch)
+        if _abl("yc"):
+            return jnp.sum(E * GvT, axis=2), h_last
         return jnp.sum(E * GvT * Cc[:, None], axis=2), h_last
     _E, _F, _eh, _G, _hb, h_all, h_last, _dub = _ssd_forward_core(
         dt, u, A, Bc, chunk, tau, h0=h0, reverse=rev, pitch=pitch)
+    if _abl("yc"):
+        return jnp.sum(h_all, axis=2), h_last
     return jnp.sum(h_all * Cc[:, None], axis=2), h_last
 
 
@@ -944,49 +1062,44 @@ def _part_bwd(dt, u, gy, A, Bc, Cc, h0, carry_in, chunk: int, tau: int,
             adjoint=True)
 
         # adjoint scan: dh_t = F_t * (revcumsum_t(E q) + E_end_j V_j)
-        # with the cross-segment carries V solved by a tau-stride
-        # doubling scan running opposite to the forward direction
-        # (everything below is the exact lane mirror when rv_dir)
-        q = Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :]
-        eq = E * q                                 # (Bb, Db, N, T) cdt
+        # with the cross-segment carries V solved opposite to the forward
+        # direction (everything below is the exact lane mirror when rv_dir)
+        if _abl("q"):
+            eq = E
+        else:
+            q = Cc.astype(cdt)[:, None] * gy.astype(cdt)[:, :, None, :]
+            eq = E * q                             # (Bb, Db, N, T) cdt
         rcg = _matmul_t(eq, jnp.concatenate([m_adj, m_seg], axis=1),
                         adjoint=True)
         rc, rcsum = rcg[..., :chunk], rcg[..., chunk:]  # cumsum|totals
-        carry_b = jnp.broadcast_to(carry_in[..., None],
-                                   carry_in.shape + (chunk,))
-        p = ehalf * ehalf
-        bprime = ehalf * rcsum                     # b'_j = E_end_j sum(Eq)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
-        # the adjoint scan runs opposite to the primal direction; for
-        # packed chunks, decouple elements with the matching reset mask
-        reset = (None if pitch is None else
-                 _pack_reset_mask(rv_dir, pitch, tau, chunk))
-        if reset is not None:
-            p = jnp.where(reset, 0.0, p)
-        if rv_dir:
-            bprime = jnp.where(lane < tau, bprime + p * carry_b, bprime)
-            rv = _seg_scan_fwd(p, bprime, tau, chunk)
-            v = jnp.concatenate([carry_b[..., :tau], rv[..., :-tau]],
-                                axis=-1)
-            carry_out = _col(rv, -1)
+        if _abl("adjb"):
+            v, carry_out = jnp.broadcast_to(
+                carry_in[..., None], carry_in.shape + (chunk,)), carry_in
         else:
-            bprime = jnp.where(lane >= chunk - tau,  # fold carry V_{R-1}
-                               bprime + p * carry_b, bprime)
-            rv = _seg_scan_rev(p, bprime, tau, chunk)  # rv_j = V_{j-1}
-            v = jnp.concatenate([rv[..., tau:], carry_b[..., :tau]],
-                                axis=-1)
-            carry_out = _col(rv, 0)                # = a_0 dh_0 carry
-        if reset is not None:
-            v = jnp.where(reset, 0.0, v)
-        dh = F * (rc + ehalf * v)
+            # carries V_j = p_j V_prev + ehalf_j * sum_j(Eq), processed
+            # opposite to the primal direction; packed-element resets inside
+            v, carry_out = _boundary_solve(
+                ehalf, rcsum, carry_in, tau, chunk, rv_dir, pitch)
+        dh = rc if _abl("dh") else F * (rc + ehalf * v)
 
     # parameter/input gradient pieces (a_t h_{t-1} = h_t - dub_t)
-    dhB = jnp.sum(dh * Bc[:, None], axis=2)        # (Bb, Db, T)
-    p2 = dh * (h_all - dub)
-    dadt = jnp.sum(p2 * A[None, :, :, None], axis=2)  # (Bb, Db, T)
-    dbc = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)   # (Bb, Np, T)
-    dcc = jnp.sum(h_all * gy[:, :, None, :], axis=1)
-    dA_p = jnp.sum(p2 * dt[:, :, None, :], axis=(0, 3))   # (Db, Np)
+    if _abl("dhb"):
+        dhB = jnp.sum(dh, axis=2)
+    else:
+        dhB = jnp.sum(dh * Bc[:, None], axis=2)    # (Bb, Db, T)
+    if _abl("gadt"):
+        dadt = jnp.zeros(dh.shape[:2] + dh.shape[3:], jnp.float32)
+        dA_p = jnp.zeros((dh.shape[1], dh.shape[2]), jnp.float32)
+    else:
+        p2 = dh * (h_all - dub)
+        dadt = jnp.sum(p2 * A[None, :, :, None], axis=2)  # (Bb, Db, T)
+        dA_p = jnp.sum(p2 * dt[:, :, None, :], axis=(0, 3))   # (Db, Np)
+    if _abl("gbc"):
+        dbc = jnp.zeros((dh.shape[0],) + dh.shape[2:], jnp.float32)
+        dcc = dbc
+    else:
+        dbc = jnp.sum(dh * (dt * u)[:, :, None, :], axis=1)   # (Bb, Np, T)
+        dcc = jnp.sum(h_all * gy[:, :, None, :], axis=1)
     return dhB, dadt, dbc, dcc, dA_p, carry_out
 
 

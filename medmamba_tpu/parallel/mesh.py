@@ -61,20 +61,46 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return mesh
 
 
-def shard_batch(mesh: Mesh, images, labels):
+def shard_batch(mesh: Mesh, images, labels, *,
+                process_count: Optional[int] = None):
     """Place a host batch onto the mesh, sharded over the data axis.
 
-    Pads the batch up to a multiple of the data-axis size if needed (last partial
-    batch); padded examples get label -1 and are masked out by callers that care.
+    Single-process (the default everywhere this environment can run): pads
+    the batch up to a multiple of the data-axis size if needed (last partial
+    batch; padded examples get label -1, masked out by callers that care)
+    and device_puts the global batch.
+
+    Multi-process (a real pod: ``jax.process_count() > 1``): ``images`` /
+    ``labels`` are this process's contiguous 1/process_count slice of the
+    global batch (the loader's ``process_index``/``process_count`` slicing),
+    and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` -- no host ever materializes
+    the full global batch. Requires the global batch to divide the data axis
+    (the loader's pad_to_full guarantees a full static batch).
     """
+    if process_count is None:
+        process_count = jax.process_count()
+    sh_img = NamedSharding(mesh, P("data"))
+    sh_lbl = NamedSharding(mesh, P("data"))
+    if process_count > 1:
+        nd = mesh.shape["data"]
+        gb = images.shape[0] * process_count
+        assert gb % nd == 0, (
+            f"global batch {gb} must divide the data axis {nd} under "
+            f"multi-host loading (set a divisible --batch_size)")
+        imgs = jax.make_array_from_process_local_data(
+            sh_img, np.ascontiguousarray(images))
+        lbls = jax.make_array_from_process_local_data(
+            sh_lbl, np.ascontiguousarray(labels))
+        return imgs, lbls
     nd = mesh.shape["data"]
     b = images.shape[0]
     if b % nd != 0:
         pad = nd - b % nd
         images = np.concatenate([images, np.repeat(images[-1:], pad, 0)], 0)
         labels = np.concatenate([labels, np.full((pad,), -1, labels.dtype)], 0)
-    imgs = jax.device_put(images, NamedSharding(mesh, P("data")))
-    lbls = jax.device_put(labels, NamedSharding(mesh, P("data")))
+    imgs = jax.device_put(images, sh_img)
+    lbls = jax.device_put(labels, sh_lbl)
     return imgs, lbls
 
 

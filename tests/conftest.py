@@ -56,6 +56,7 @@ _SLOW = {
     "test_pallas_tau_chunk_fast_path_exact_in_range",
     "test_grad_cam_tiny_model",
     "test_mobilenet_v2_logits_match_reference",
+    "test_pallas_nseg2_boundary_variants_match_assoc",
 }
 
 

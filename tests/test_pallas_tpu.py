@@ -323,3 +323,41 @@ def test_pallas_nsplit_fused_on_chip():
             s = np.abs(np.asarray(gt)).max() + 1e-6
             assert np.abs(np.asarray(gf)
                           - np.asarray(gt)).max() / s < 2e-4, (l, name)
+
+
+@pytest.mark.parametrize("variant", ["col", "shift", "scan"])
+def test_pallas_nseg2_boundary_variants_on_chip(variant, monkeypatch):
+    """The 2-segment boundary lowerings (MEDMAMBA_SCAN_NSEG2: col default,
+    shift, generic scan) on real Mosaic: tau=64 under a 128 chunk must match
+    assoc -- fwd + grads, mixed reverse dirs, in-range magnitudes."""
+    monkeypatch.setenv("MEDMAMBA_SCAN_NSEG2", variant)
+    rng = np.random.default_rng(71)
+    u, delta, A, B, C, D, bias = _make(rng, b=2, l=256)
+    delta *= 0.03
+    bias[:] = -4.0
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    flags = (False, False, True, True)
+
+    def fused(a):
+        return selective_scan_pallas(a[0], a[1], a[2], a[3], a[4], a[5],
+                                     delta_bias=a[6], delta_softplus=True,
+                                     tau=64, reverse_dirs=flags)
+
+    def ref(a):
+        from medmamba_tpu.ops.selective_scan import (_flip_group_seqs,
+                                                     _flip_y)
+        uf, df, Bf, Cf = _flip_group_seqs(a[0], a[1], a[3], a[4], flags)
+        y = selective_scan_assoc(uf, df, a[2], Bf, Cf, a[5],
+                                 delta_bias=a[6], delta_softplus=True)
+        return _flip_y(y, 4, flags)
+
+    y_f, y_r = np.asarray(fused(args)), np.asarray(ref(args))
+    scale = np.abs(y_r).max()
+    assert np.abs(y_f - y_r).max() / scale < 1e-4
+    g_f = jax.grad(lambda a: jnp.sum(fused(a) ** 2))(args)
+    g_r = jax.grad(lambda a: jnp.sum(ref(a) ** 2))(args)
+    for name, gf, gr in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_f, g_r):
+        s = np.abs(np.asarray(gr)).max() + 1e-6
+        assert np.abs(np.asarray(gf) - np.asarray(gr)).max() / s < 1e-3, \
+            (variant, name)

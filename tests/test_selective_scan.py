@@ -704,3 +704,73 @@ def test_pallas_nsplit_fused_bf16_out_dtype():
     np.testing.assert_array_equal(
         np.asarray(y16, np.float32),
         np.asarray(y32.astype(jnp.bfloat16), np.float32))
+
+
+@pytest.mark.parametrize("variant", ["col", "shift", "scan"])
+def test_pallas_nseg2_boundary_variants_match_assoc(variant, monkeypatch):
+    """The 2-segment boundary recurrence (tau = chunk/2 -- the production
+    lo-part regime of the mixed-tau n-split) has three lowerings
+    (MEDMAMBA_SCAN_NSEG2): col (per-segment column extracts, default),
+    shift (fold + one shift + select), scan (the generic doubling
+    machinery). All must match assoc -- fwd + grads, mixed reverse dirs,
+    multi-chunk L with valid_len, and the packed short-L pitch==tau case."""
+    from medmamba_tpu.ops.pallas_scan import selective_scan_pallas
+    monkeypatch.setenv("MEDMAMBA_SCAN_NSEG2", variant)
+
+    rng = np.random.default_rng(61)
+    l, lp = 200, 256
+    u, delta, A, B, C, D, bias = _mk(rng, b=2, d=16, n=8, l=lp, g=2)
+    # keep |A|*seg_sum(dt) inside the clip budget at tau=64 (trained-
+    # magnitude regime the selector guards; cf. the tau=128 fast-path test)
+    delta *= 0.03
+    bias[:] = -4.0
+    for x in (u, delta, B, C):
+        x[..., l:] = 0.0
+    args = tuple(jnp.asarray(a) for a in (u, delta, A, B, C, D, bias))
+    flags = (False, True)
+
+    def fused(a):
+        return selective_scan_pallas(a[0], a[1], a[2], a[3], a[4], a[5],
+                                     delta_bias=a[6], delta_softplus=True,
+                                     tau=64, reverse_dirs=flags, valid_len=l)
+
+    def ref(a):
+        from medmamba_tpu.ops.selective_scan import selective_scan
+        return selective_scan(a[0], a[1], a[2], a[3], a[4], a[5],
+                              delta_bias=a[6], delta_softplus=True,
+                              impl="assoc", reverse_dirs=flags, valid_len=l)
+
+    _assert_close(ref(args), fused(args), 1e-4, l=l)
+    g_f = jax.grad(lambda a: jnp.sum(fused(a)[..., :l] ** 2))(args)
+    g_r = jax.grad(lambda a: jnp.sum(ref(a)[..., :l] ** 2))(args)
+    for name, gf, gr in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_f, g_r):
+        s = np.abs(np.asarray(gr)).max() + 1e-6
+        assert np.abs(np.asarray(gf) - np.asarray(gr)).max() / s < 2e-3, name
+
+    # packed pitch == tau (stage-4 auto regime: L=49 at tau=64, 2 elements
+    # per 128-lane chunk, every segment an element boundary)
+    up, dp, Ap, Bp, Cp, Dp, bp = _mk(rng, b=4, d=16, n=8, l=49, g=2)
+    dp *= 0.03
+    bp[:] = -4.0
+    argsp = tuple(jnp.asarray(a) for a in (up, dp, Ap, Bp, Cp, Dp, bp))
+
+    def packed(a):
+        return selective_scan_pallas(a[0], a[1], a[2], a[3], a[4], a[5],
+                                     delta_bias=a[6], delta_softplus=True,
+                                     tau=64, reverse_dirs=(False, True))
+
+    y_p = packed(argsp)
+    y_o = selective_scan(argsp[0], argsp[1], argsp[2], argsp[3], argsp[4],
+                         argsp[5], delta_bias=argsp[6], delta_softplus=True,
+                         impl="assoc", reverse_dirs=(False, True))
+    _assert_close(y_o, y_p, 1e-4)
+    g_p = jax.grad(lambda a: jnp.sum(packed(a) ** 2))(argsp)
+    g_o = jax.grad(lambda a: jnp.sum(selective_scan(
+        a[0], a[1], a[2], a[3], a[4], a[5], delta_bias=a[6],
+        delta_softplus=True, impl="assoc",
+        reverse_dirs=(False, True)) ** 2))(argsp)
+    for name, gf, gr in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                            g_p, g_o):
+        s = np.abs(np.asarray(gr)).max() + 1e-6
+        assert np.abs(np.asarray(gf) - np.asarray(gr)).max() / s < 2e-3, name

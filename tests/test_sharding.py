@@ -208,3 +208,41 @@ def test_graft_entry_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_tp_involuntary_remat_bounded(capfd):
+    """VERDICT r3 #7: the TP (model-axis) path emits GSPMD "involuntary full
+    rematerialization" warnings on a bounded set of per-block backward
+    tensors (docs/DESIGN.md "Distribution"). Pin the bound so a sharding
+    regression that multiplies these resharding warts fails loudly instead
+    of sailing through the dryrun. Counted on a fresh (uncached) compile of
+    the full train step under the 4x2 DP x TP mesh."""
+    import jax._src.config as jax_config  # noqa: F401
+
+    state = _tiny_state(scan_impl="pallas")
+    mesh = make_mesh(n_data=4, n_model=2)
+    state = state.replace(params=partition_params(state.params, mesh))
+    imgs = np.zeros((8, 16, 16, 3), np.uint8)
+    lbls = np.zeros((8,), np.int64)
+    imgs, lbls = shard_batch(mesh, imgs, lbls)
+
+    old = jax.config.jax_enable_compilation_cache
+    try:
+        # a persistent-cache hit would skip the XLA pipeline and emit no
+        # SPMD warnings at all -- force a real compile
+        jax.config.update("jax_enable_compilation_cache", False)
+        capfd.readouterr()  # drain
+        train_step.lower(state, imgs, lbls, jax.random.key(1),
+                         augment=False, image_size=16).compile()
+        err = capfd.readouterr().err
+    finally:
+        jax.config.update("jax_enable_compilation_cache", old)
+
+    count = err.count("Involuntary full rematerialization")
+    n_blocks = 2  # depths (1, 1)
+    # documented wart: a handful of backward-silu/select tensors per block
+    # on the non-recommended TP path; 4 per block is the measured envelope
+    assert count <= 4 * n_blocks, (
+        f"{count} involuntary SPMD rematerializations (bound "
+        f"{4 * n_blocks}); the TP partition rules or the scan's mesh-axis "
+        f"resharding regressed -- see docs/DESIGN.md 'Distribution'")

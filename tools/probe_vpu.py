@@ -52,6 +52,33 @@ def make_kernel(k_ops, mode):
             for _ in range(k_ops):
                 acc = jnp.exp(acc * 1e-6)
             o_ref[...] = acc
+        elif mode == "mix":
+            # VERDICT r3 #8: falsification probe of the 1.8-2.0 T el-ops/s
+            # fp32 anchor under the SCAN KERNEL'S ACTUAL MIX -- interleaved
+            # exp + mul/add + clip + select on (8,128)-tiled fp32 with ~10
+            # live buffers (the SSD kernel keeps ~11 cubes live), instead of
+            # a clean single-chain. One iteration = 15 el-ops mirroring the
+            # forward's decay/factor/contraction passes (g, clip, E, F, w,
+            # G+, h_all, select, fma).
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+            a, b = x, x * 1.1 + 1.0
+            live = [x + float(i) * 0.1 for i in range(6)]
+            for _ in range(k_ops // 15):
+                g = a * b                                      # 1
+                g = jnp.minimum(jnp.maximum(g, -80.0), 80.0)   # 2
+                E = jnp.exp(g * 1e-6)                          # 2 (mul+exp)
+                F = jnp.exp(-1e-6 * g)                         # 2
+                w = F * live[0]                                # 1
+                G = w + live[1]                                # 1
+                h = E * (G + F * live[2])                      # 3
+                sel = jnp.where(lane < 64, h, E)               # 1
+                a = sel * 1.000001 + 1e-7                      # 2 (fma)
+                b = b * 0.999999                               # 1
+                live = live[1:] + [h * 1e-3]                   # (counted 0)
+            acc = a + b
+            for c in live:
+                acc = acc + c * 1e-6
+            o_ref[...] = acc
     return kern
 
 
@@ -81,14 +108,20 @@ def bench(dtype, k_ops, mode, rows=8 * 2048, cols=512, blk_rows=512):
     per_call = (t13 - t3) / 500
     els = rows * cols
     # each mul+add = 2 el-ops; chain does k_ops of those
-    ops = els * k_ops * (2 if mode in ("chain", "par4") else 1)
+    if mode == "mix":
+        ops = els * (k_ops // 15) * 15  # 15 counted el-ops per iteration
+    else:
+        ops = els * k_ops * (2 if mode in ("chain", "par4") else 1)
     return per_call, ops / per_call / 1e12
 
 
 def main():
-    for mode in ("mul", "mul8", "chain", "exp"):
-        for dtype in (jnp.float32, jnp.bfloat16):
-            for k in (16, 64):
+    modes = sys.argv[1].split(",") if len(sys.argv) > 1 else (
+        "mul", "mul8", "chain", "exp")
+    for mode in modes:
+        for dtype in ((jnp.float32,) if mode == "mix"
+                      else (jnp.float32, jnp.bfloat16)):
+            for k in (16, 64) if mode != "mix" else (60, 150):
                 t, tops = bench(dtype, k, mode)
                 print(f"{mode:6s} {dtype.__name__:9s} k={k:3d}: "
                       f"{t*1e3:7.3f} ms/call  {tops:6.2f} T el-ops/s")
