@@ -322,26 +322,34 @@ def _seg_scan_rev(p, z, tau: int, t_len: int):
     return x
 
 
-def _nseg2_impl() -> str:
+def _nseg2_impl(pitch: Optional[int] = None, tau: int = 0) -> str:
     """Lowering for the 2-segment boundary recurrence (tau = chunk/2 -- the
     production lo-part regime of the fused mixed-tau n-split, where stages
     0-2's high-|A| lanes run at tau=64 under a 128 chunk).
 
     The generic path solves Hend_j = p_j Hend_prev + z_j with a fold + a
-    tau-stride doubling scan + a concat over full (Bb, Db, N, T) cubes
-    (~8 cube passes). At nseg == 2 the recurrence is one step, so:
+    tau-stride doubling scan + a concat over full (Bb, Db, N, T) cubes.
+    At nseg == 2 the recurrence is one step, so two direct lowerings exist:
 
-      * col (default): extract the per-segment (Bb, Db, N) columns of the
-        segment-constant p/z lanes, solve the step on those smalls, and
-        rebuild the entering-state broadcast with ONE broadcast + ONE select
-        (~2 cube passes + 4 lane extracts). Unlike the rejected full-compact
-        mode this touches nothing else -- no per-segment G machinery, no
-        pick-matrix, no select chains.
-      * shift: keep the fold, replace scan+concat with one shift + select
-        (~5.5 cube passes).
-      * scan: the generic machinery (measurement baseline).
+      * col: per-segment column extracts solve the step on (Bb, Db, N)
+        smalls; the entering-state broadcast is ONE broadcast + ONE select.
+      * shift: keep the fold, replace scan+concat with one shift + select.
+
+    MEASURED (v5e-1, stage-0 grad, 2026-08-20, docs/experiments/
+    ledger_r04_raw.jsonl): col 50.8 / shift 45.3 / scan 44.9 ms at the
+    production nsplit spec (col 58.6 / 47.9 / 47.7 at uniform tau=64) --
+    the lane extracts cost more than the ~4 cube passes they delete, the
+    same relayout tax that sank the round-3 compact mode, and the shift
+    variant is measurement-neutral. BUT on the PACKED pitch == tau case
+    (stage 3: every segment an element boundary, no cross-segment state at
+    all) col wins 32% (5.09 vs 7.53 ms): its packed branch emits just one
+    select against zero. Default policy ("auto"): col when pitch == tau,
+    the generic scan otherwise. MEDMAMBA_SCAN_NSEG2=col|shift|scan forces.
     """
-    return os.environ.get("MEDMAMBA_SCAN_NSEG2", "col")
+    mode = os.environ.get("MEDMAMBA_SCAN_NSEG2", "auto")
+    if mode != "auto":
+        return mode
+    return "col" if (pitch is not None and pitch == tau) else "scan"
 
 
 def _boundary_solve(ehalf, zsum, carry, tau: int, chunk: int, fwd_dir: bool,
@@ -368,7 +376,8 @@ def _boundary_solve(ehalf, zsum, carry, tau: int, chunk: int, fwd_dir: bool,
     first = (lane < tau) if fwd_dir else (lane >= chunk - tau)
     nseg = chunk // tau
     carry_b = jnp.broadcast_to(carry[..., None], carry.shape + (chunk,))
-    if nseg == 2 and _nseg2_impl() == "col":
+    impl2 = _nseg2_impl(pitch, tau) if nseg == 2 else ""
+    if nseg == 2 and impl2 == "col":
         # one-step recurrence on per-segment column extracts: no p/z cubes,
         # no fold, no scan -- ~2 cube passes (broadcast + select) + smalls
         if fwd_dir:
@@ -397,7 +406,7 @@ def _boundary_solve(ehalf, zsum, carry, tau: int, chunk: int, fwd_dir: bool,
     if reset is not None:
         p = jnp.where(reset, 0.0, p)         # decouple packed elements
     z = jnp.where(first, z + p * carry_b, z)
-    if nseg == 2:                            # shift variant: fold kept
+    if nseg == 2 and impl2 == "shift":       # shift variant: fold kept
         if fwd_dir:
             s = _shift_r(z, tau, 0.0)
             last = _col(z, -1) + _col(p, -1) * _col(s, -1)

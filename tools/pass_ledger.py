@@ -146,12 +146,24 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--quick", action="store_true",
                     help="nseg2-variant A/B only")
+    ap.add_argument("--tokens", default=None,
+                    help="comma list: run ONLY these ablation tokens (plus "
+                         "baseline) at the nsplit grad config -- the "
+                         "trimmed ledger for tight TPU budgets")
     args = ap.parse_args()
     if args.child:
         child(args.stage, args.mode, args.tau, args.batch)
         return
 
     cfgs = []
+    if args.tokens is not None:
+        cfgs.append({"phase": "ledger", "stage": 0, "mode": "grad",
+                     "tau": "nsplit:8:128:64", "ablate": ""})
+        for tok in args.tokens.split(","):
+            cfgs.append({"phase": "ledger", "stage": 0, "mode": "grad",
+                         "tau": "nsplit:8:128:64", "ablate": tok})
+        run_trimmed(cfgs)
+        return
     # Phase A: nseg2 boundary-variant A/B (the direct candidate win).
     # stage 0 at the production auto spec (nsplit 8 lanes @128 / 8 @64) and
     # at uniform tau=64; stage 3 packed pitch==tau.
@@ -182,6 +194,10 @@ def main():
                     cfgs.append({"phase": "ledger", "stage": 0, "mode": mode,
                                  "tau": tau, "ablate": tok})
 
+    run_trimmed(cfgs)
+
+
+def run_trimmed(cfgs):
     print(f"{len(cfgs)} measurements queued")
     consecutive_errors = 0
     for cfg in cfgs:
