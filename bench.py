@@ -171,7 +171,13 @@ def main():
                 0, n, body, (s, jnp.zeros((), jnp.float32)), unroll=False)
 
         def one_epoch(s, model_, cur, n):
-            s, loss = run_epoch(s, n)
+            # dispatch in <=100-step chunks: one uninterrupted device
+            # execution of 300 steps (~70 s) crashes the tunnel's TPU
+            # worker (measured 2026-08-20); ~25 s chunks are safe and the
+            # per-dispatch overhead is amortized away
+            loss = None
+            for off in range(0, int(n), 100):
+                s, loss = run_epoch(s, min(100, int(n) - off))
             float(loss)
             new = select_scan_tau(model_, s.params, s.batch_stats,
                                   calib(images))
