@@ -87,6 +87,16 @@ def main():
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8)
     labels = rng.integers(0, 9, (batch,), dtype=np.int64)
+    if os.environ.get("BENCH_MODE") == "sustained":
+        # a LEARNABLE task: labels = image-mean intensity buckets. Training
+        # 1500 steps on random labels is degenerate -- the dt magnitudes
+        # blow past every tau budget and the auto guard (correctly) walks
+        # the spec down to the slow always-safe floor, so the "sustained"
+        # number would measure an adversarial workload, not training.
+        # Real-data budgets are near-static (ROUND3_NOTES session 6).
+        m = images.reshape(batch, -1).mean(axis=1)
+        labels = np.digitize(m, np.quantile(m, np.linspace(0, 1, 10)[1:-1])
+                             ).astype(np.int64)
     images, labels = shard_batch(mesh, images, labels)
     key = jax.random.key(1)
 
@@ -170,6 +180,8 @@ def main():
             return jax.lax.fori_loop(
                 0, n, body, (s, jnp.zeros((), jnp.float32)), unroll=False)
 
+        recalib_s, retraces = [], []
+
         def one_epoch(s, model_, cur, n):
             # dispatch in <=100-step chunks: one uninterrupted device
             # execution of 300 steps (~70 s) crashes the tunnel's TPU
@@ -179,15 +191,20 @@ def main():
             for off in range(0, int(n), 100):
                 s, loss = run_epoch(s, min(100, int(n) - off))
             float(loss)
+            t0 = time.perf_counter()
             new = select_scan_tau(model_, s.params, s.batch_stats,
                                   calib(images))
+            recalib_s.append(time.perf_counter() - t0)
             if new != cur:
+                retraces.append(_tau_json(new))
                 model_ = model_.clone(scan_tau=new)
                 s = s.replace(apply_fn=model_.apply)
             return s, model_, new
 
         cur = taus
         state, model, cur = one_epoch(state, model, cur, warmup)  # compile
+        recalib_s.clear()
+        retraces.clear()
         t0 = time.perf_counter()
         for _ in range(n_epochs):
             state, model, cur = one_epoch(state, model, cur, steps)
@@ -200,7 +217,10 @@ def main():
             "value": round(ips, 2), "unit": "img/s/chip",
             "vs_baseline": round(ips / A100_BASELINE_IMG_PER_SEC, 3),
             "extra": {"epochs": n_epochs, "steps_per_epoch": steps,
-                      "batch": batch, "scan_tau": _tau_json(cur)}}))
+                      "batch": batch, "scan_tau": _tau_json(cur),
+                      "recalib_s_per_epoch": round(
+                          sum(recalib_s) / max(len(recalib_s), 1), 2),
+                      "spec_changes": retraces}}))
         return
 
     # N steps inside ONE jitted fori_loop: a single dispatch + single sync, so
