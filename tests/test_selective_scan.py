@@ -774,3 +774,17 @@ def test_pallas_nseg2_boundary_variants_match_assoc(variant, monkeypatch):
                             g_p, g_o):
         s = np.abs(np.asarray(gr)).max() + 1e-6
         assert np.abs(np.asarray(gf) - np.asarray(gr)).max() / s < 2e-3, name
+
+
+def test_nseg2_auto_policy(monkeypatch):
+    """The measured auto policy (DESIGN round 4): generic scan lowering for
+    the 2-segment boundary except the packed pitch==tau case, where the
+    column form wins 32%; env forces either."""
+    from medmamba_tpu.ops.pallas_scan import _nseg2_impl
+
+    monkeypatch.delenv("MEDMAMBA_SCAN_NSEG2", raising=False)
+    assert _nseg2_impl(None, 64) == "scan"      # unpacked
+    assert _nseg2_impl(128, 64) == "scan"       # packed, pitch != tau
+    assert _nseg2_impl(64, 64) == "col"         # packed, pitch == tau
+    monkeypatch.setenv("MEDMAMBA_SCAN_NSEG2", "shift")
+    assert _nseg2_impl(64, 64) == "shift"
