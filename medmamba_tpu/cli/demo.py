@@ -198,6 +198,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from medmamba_tpu.ops.pallas_scan import guard_ablation_unset
+    guard_ablation_unset()
 
     infer, render, class_of = build_app(args)
     random_form = (RANDOM_FORM.format(test_dir=args.test_dir)

@@ -42,6 +42,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from medmamba_tpu.ops.pallas_scan import guard_ablation_unset
+    guard_ablation_unset()
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -44,6 +44,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from medmamba_tpu.ops.pallas_scan import guard_ablation_unset
+    guard_ablation_unset()
     platforms = tuple(s.strip() for s in args.platforms.split(","))
     if args.scan_impl == "pallas" and platforms != ("tpu",):
         raise SystemExit("--scan_impl pallas bakes a TPU-only Mosaic kernel "

@@ -41,6 +41,8 @@ IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".webp")
 
 def main(argv=None):
     args = parse_args(argv)
+    from medmamba_tpu.ops.pallas_scan import guard_ablation_unset
+    guard_ablation_unset()
     import numpy as np
     import jax.numpy as jnp
     import matplotlib

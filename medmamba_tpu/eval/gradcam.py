@@ -130,8 +130,32 @@ def grad_cam(model, variables, images: jnp.ndarray,
     return np.asarray(cam, np.float32)
 
 
-_CAM_CACHE: dict = {}
-_PREDICT_CACHE: dict = {}
+class _LRU(dict):
+    """Bounded jit-program cache (VERDICT r4 weak #7): a long-running demo
+    server fed varied image shapes/models must not grow these without bound.
+    Each entry is a compiled program, so a handful is plenty."""
+
+    def __init__(self, maxsize: int = 16):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def __getitem__(self, key):
+        val = super().__getitem__(key)
+        # refresh recency (dicts preserve insertion order)
+        super().__delitem__(key)
+        super().__setitem__(key, val)
+        return val
+
+    def __setitem__(self, key, val):
+        if key in self:
+            super().__delitem__(key)
+        elif len(self) >= self.maxsize:
+            super().__delitem__(next(iter(self)))
+        super().__setitem__(key, val)
+
+
+_CAM_CACHE = _LRU()
+_PREDICT_CACHE = _LRU()
 
 
 def _predict(model, variables, images):

@@ -68,6 +68,20 @@ def _abl(tok: str) -> bool:
     return tok in env.split(",")
 
 
+def guard_ablation_unset() -> None:
+    """Refuse to run with MEDMAMBA_SCAN_ABLATE set (ADVICE r4): the ablation
+    stubs keep shapes but break numerics, so a stale env var leaking from a
+    pass-ledger run into a real training/eval process would silently corrupt
+    results. User-facing CLIs call this at startup; tools/pass_ledger.py sets
+    MEDMAMBA_SCAN_ABLATE_OK=1 in its timing subprocesses to opt in."""
+    if os.environ.get("MEDMAMBA_SCAN_ABLATE") and not os.environ.get(
+            "MEDMAMBA_SCAN_ABLATE_OK"):
+        raise RuntimeError(
+            "MEDMAMBA_SCAN_ABLATE is set: the scan-kernel ablation stubs "
+            "break numerics and are for pass-ledger timing only. Unset it "
+            "(or set MEDMAMBA_SCAN_ABLATE_OK=1 if you really mean to).")
+
+
 def _compute_dtype():
     """Scan-internal compute dtype. float32 by default (parity with the
     reference's forced-fp32 scan core, MedMamba.py:265-271); set
@@ -348,6 +362,11 @@ def _nseg2_impl(pitch: Optional[int] = None, tau: int = 0) -> str:
     """
     mode = os.environ.get("MEDMAMBA_SCAN_NSEG2", "auto")
     if mode != "auto":
+        if mode not in ("col", "shift", "scan"):
+            raise ValueError(
+                f"MEDMAMBA_SCAN_NSEG2={mode!r}: expected one of "
+                "col|shift|scan|auto (a typo here would silently measure "
+                "the wrong variant in a ledger A/B)")
         return mode
     return "col" if (pitch is not None and pitch == tau) else "scan"
 

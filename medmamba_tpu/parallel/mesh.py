@@ -88,6 +88,20 @@ def shard_batch(mesh: Mesh, images, labels, *,
         assert gb % nd == 0, (
             f"global batch {gb} must divide the data axis {nd} under "
             f"multi-host loading (set a divisible --batch_size)")
+        # The loader hands each process a CONTIGUOUS slice of the global
+        # batch in process_index order; make_array_from_process_local_data
+        # places local shards at the rows addressed by this process's
+        # data-axis devices. Those only coincide when the data axis is
+        # ordered by process (ADVICE r4): on an interleaved mesh the
+        # image/label pairing survives but the "identical to a single-host
+        # global batch" ordering claim does not -- refuse rather than
+        # silently reorder.
+        procs = [d.process_index
+                 for d in mesh.devices.reshape(-1, mesh.shape["model"])[:, 0]]
+        assert procs == sorted(procs), (
+            "multi-host shard_batch requires the mesh data axis ordered by "
+            f"process_index (got {procs}); build the mesh from "
+            "jax.devices() order or reorder devices before make_mesh")
         imgs = jax.make_array_from_process_local_data(
             sh_img, np.ascontiguousarray(images))
         lbls = jax.make_array_from_process_local_data(

@@ -788,3 +788,21 @@ def test_nseg2_auto_policy(monkeypatch):
     assert _nseg2_impl(64, 64) == "col"         # packed, pitch == tau
     monkeypatch.setenv("MEDMAMBA_SCAN_NSEG2", "shift")
     assert _nseg2_impl(64, 64) == "shift"
+    monkeypatch.setenv("MEDMAMBA_SCAN_NSEG2", "cols")  # typo'd value
+    with pytest.raises(ValueError, match="MEDMAMBA_SCAN_NSEG2"):
+        _nseg2_impl(64, 64)
+
+
+def test_ablation_env_guard(monkeypatch):
+    """User-facing CLIs refuse a leaked MEDMAMBA_SCAN_ABLATE (ADVICE r4):
+    the stubs break numerics and are for ledger timing only."""
+    from medmamba_tpu.ops.pallas_scan import guard_ablation_unset
+
+    monkeypatch.delenv("MEDMAMBA_SCAN_ABLATE", raising=False)
+    monkeypatch.delenv("MEDMAMBA_SCAN_ABLATE_OK", raising=False)
+    guard_ablation_unset()                       # unset: fine
+    monkeypatch.setenv("MEDMAMBA_SCAN_ABLATE", "ehalf")
+    with pytest.raises(RuntimeError, match="MEDMAMBA_SCAN_ABLATE"):
+        guard_ablation_unset()
+    monkeypatch.setenv("MEDMAMBA_SCAN_ABLATE_OK", "1")
+    guard_ablation_unset()                       # explicit opt-in

@@ -108,6 +108,7 @@ def run_child(cfg: dict, timeout: int = 2400):
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
     if cfg.get("ablate"):
         env["MEDMAMBA_SCAN_ABLATE"] = cfg["ablate"]
+        env["MEDMAMBA_SCAN_ABLATE_OK"] = "1"  # opt past guard_ablation_unset
     else:
         env.pop("MEDMAMBA_SCAN_ABLATE", None)
     if cfg.get("nseg2"):
