@@ -176,7 +176,10 @@ def _parse_multipart(body: bytes, content_type: str):
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--checkpoint_path", required=True,
+                   help="framework checkpoint dir, or a reference torch .pth "
+                        "file (auto-converted in memory, test.py:76-77 "
+                        "parity)")
     p.add_argument("--medmb_size", default="T", choices=["T", "S", "B", "Te"])
     p.add_argument("--num_classes", type=int, default=None)
     p.add_argument("--image_size", type=int, default=224)

@@ -17,7 +17,10 @@ import argparse
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="MedMamba metric evaluation.")
-    p.add_argument("--checkpoint_path", type=str, required=True)
+    p.add_argument("--checkpoint_path", type=str, required=True,
+                   help="framework checkpoint dir, or a reference torch .pth "
+                        "file (auto-converted in memory, test.py:76-77 "
+                        "parity)")
     p.add_argument("--data_dir", type=str, required=True)
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--medmb_size", type=str, default="T",

@@ -18,7 +18,10 @@ import random
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="MedMamba Grad-CAM test (TPU-native).")
-    p.add_argument("--checkpoint_path", type=str, required=True)
+    p.add_argument("--checkpoint_path", type=str, required=True,
+                   help="framework checkpoint dir, or a reference torch .pth "
+                        "file (auto-converted in memory, test.py:76-77 "
+                        "parity)")
     p.add_argument("--test_dir", type=str, required=True)
     p.add_argument("--num_classes", type=int, required=True)
     p.add_argument("--medmb_size", type=str, default="T",

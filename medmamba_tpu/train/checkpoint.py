@@ -141,8 +141,18 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, Dict]:
 
 def restore_params(path: str) -> Tuple[Dict, Dict]:
     """Inference-side restore: (params+batch_stats pytree, meta). Used by eval/demo
-    (the analogue of test.py:76-77 / app_streamlit_demo.py:102-116)."""
-    path = _resolve_read_path(os.path.abspath(path))
+    (the analogue of test.py:76-77 / app_streamlit_demo.py:102-116).
+
+    A *file* path (e.g. the reference's published ``.pth`` checkpoints) is
+    auto-converted in memory through ``utils.torch_interop.torch_to_flax`` —
+    the reference's consumers read the torch dict directly (test.py:76-77,
+    app_streamlit_demo.py:102-116), so users holding published weights can
+    point evaluate/test/demo straight at them without running cli/convert.
+    """
+    path = os.path.abspath(path)
+    if os.path.isfile(path):
+        return _restore_params_pth(path)
+    path = _resolve_read_path(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.join(path, "state"))
     meta = {}
@@ -150,6 +160,27 @@ def restore_params(path: str) -> Tuple[Dict, Dict]:
         with open(_meta_path(path)) as f:
             meta = json.load(f)
     return restored, meta
+
+
+def _restore_params_pth(path: str) -> Tuple[Dict, Dict]:
+    """Load a torch checkpoint file with the reference's payload schema
+    ({epoch, model_state_dict, best_acc, num_classes, class_indices, ...},
+    train.py:310-319) or a bare state_dict, converting weights to the flax
+    layout."""
+    import torch
+    from medmamba_tpu.utils.torch_interop import torch_to_flax
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("model_state_dict", payload) \
+        if isinstance(payload, dict) else payload
+    variables = torch_to_flax(sd)
+    meta = {}
+    if isinstance(payload, dict):
+        meta = {k: payload[k] for k in
+                ("epoch", "best_acc", "num_classes", "class_indices")
+                if k in payload}
+    return {"params": variables["params"],
+            "batch_stats": variables["batch_stats"]}, meta
 
 
 def _resolve_read_path(path: str) -> str:
