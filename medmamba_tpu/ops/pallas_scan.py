@@ -231,8 +231,13 @@ def _bwd_chunk_scan(a, q, n_valid=None, carry=None):
 # ---------------------------------------------------------------------------
 
 SUBCHUNK = 16  # legacy default; see _tau()
-_CLIP = 80.0   # |g| bound: e^80 ~ 5.5e34 stays fp32/bf16-finite even after the
-               # x128 within-segment cumsum; covers |A*seg_sum(dt)| <= 160
+# |g| bound: e^80 ~ 5.5e34 stays fp32/bf16-finite even after the x128
+# within-segment cumsum; covers |A*seg_sum(dt)| <= 160. MEDMAMBA_SCAN_CLIP
+# overrides it AT PROCESS START only (read once at import; a mid-process env
+# change would not retrace) -- an experiment knob for the tau-exactness A/B
+# positive-control arms (docs/DESIGN.md round 5): a small clip amplifies the
+# factorization's beyond-budget distortion on purpose. Production unset.
+_CLIP = float(os.environ.get("MEDMAMBA_SCAN_CLIP", "80.0"))
 
 
 def _tau() -> int:
@@ -1511,6 +1516,27 @@ def _bwd_pallas(u, delta, A, B, C, D, bias, states, gy, chunk: int,
 # ---------------------------------------------------------------------------
 
 DEFAULT_CHUNK = 128
+
+
+def packing_cap(seq_len: int, chunk: int = DEFAULT_CHUNK,
+                candidates=(32, 64, 128)) -> int:
+    """Largest tau that keeps the short-L batch-packing density of tau=16.
+
+    Packed stages lay ceil(L/tau)*tau lanes per batch element; a tau that
+    inflates that pitch trades packing density for segment length (measured
+    net-negative at stage-4 scale in round 3, and the HBM inflation
+    (49 -> 128 lanes/element at stage 3 under forced-128) is what OOM'd the
+    forced-128 batch-256 bench in round 4). Unpacked stages
+    (pitch >= chunk) have no cap. Model code clamps FORCED int taus with
+    this (vssm.py); tau_select applies it to the auto selection."""
+    pitch16 = -(-seq_len // 16) * 16
+    if pitch16 >= chunk:
+        return chunk
+    cap = 16
+    for cand in candidates:
+        if cand <= pitch16 and -(-seq_len // cand) * cand == pitch16:
+            cap = max(cap, cand)
+    return cap
 
 
 def _pick_chunk(l: int, chunk: int) -> int:

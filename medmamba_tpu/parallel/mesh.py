@@ -140,7 +140,18 @@ def _spec_for(path: Tuple[str, ...], x) -> P:
     if name == "kernel" and getattr(x, "ndim", 0) == 2:
         return P(None, "model")
     if name == "kernel" and getattr(x, "ndim", 0) == 4:
-        return P(None, None, None, "model")
+        # Conv kernels REPLICATE (round 5, measured on the virtual 4x2 mesh):
+        # sharding conv output features over 'model' put every conv
+        # activation in a model-sharded layout that meets the scan's
+        # batch-over-all-devices shard_map (and MaskedBatchNorm's batched
+        # stats) in the BACKWARD, which GSPMD resolves as "Involuntary full
+        # rematerialization" (3 per 2-block compile). Explicit
+        # with_sharding_constraint hints at those seams made it WORSE (4-6:
+        # each forced transition is itself flagged); replicating the conv
+        # kernels -- depthwise 3x3s and the (C/2)^2-sized conv-branch 3x3s,
+        # small next to the sharded Dense/x_proj/dt_proj stacks -- removes
+        # every involuntary remat (tests/test_sharding.py pins zero).
+        return P()
     if name == "x_proj_weight":
         return P(None, None, "model")
     if name == "dt_projs_weight":

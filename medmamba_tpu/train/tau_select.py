@@ -215,28 +215,117 @@ def _pick_stage_tau(b: Optional[np.ndarray], cap: int, limit: float):
     return best_spec
 
 
+def _spec_lane_cost(spec) -> float:
+    """Modeled average per-lane cost of a per-stage tau spec (int or
+    ``('nsplit', perm, m, tau_hi, tau_lo)``), for ordering specs by speed."""
+    if isinstance(spec, tuple) and spec and spec[0] == "nsplit":
+        _, perm, m, hi, lo = spec
+        nst = len(perm)
+        return (m * _lane_cost(hi) + (nst - m) * _lane_cost(lo)) / nst
+    return _lane_cost(int(spec))
+
+
+def taus_cost(taus) -> float:
+    return sum(_spec_lane_cost(s) for s in taus)
+
+
+class TauHysteresis:
+    """Debounce per-epoch tau-spec changes (VERDICT r4 #5).
+
+    A spec CHANGE costs a retrace (~40 s cache-warm, minutes cold,
+    ROUND4_NOTES session 4), so one epoch of budget jitter around a
+    threshold must not thrash retraces. The controller requires the SAME
+    proposal on ``drop_after`` consecutive recalibrations before switching
+    to a slower (more conservative) spec, and ``raise_after`` before a
+    faster one; any different proposal resets the streak. The FIRST
+    proposal is always adopted (initial calibration).
+
+    ``drop_after=1`` preserves the bit-exact gate's drop-immediately safety
+    semantics while still debouncing the raise side; the outcome-based gate
+    (see select_scan_tau ``gate='outcome'``) uses ``drop_after=2`` -- its
+    limit already carries the measured training-outcome margin, so a
+    one-epoch transient may run on the old spec.
+    """
+
+    def __init__(self, drop_after: int = 1, raise_after: int = 2):
+        self.drop_after = max(1, drop_after)
+        self.raise_after = max(1, raise_after)
+        self.current: Optional[Tuple[Any, ...]] = None
+        self._pending: Optional[Tuple[Any, ...]] = None
+        self._streak = 0
+
+    def propose(self, taus: Tuple[Any, ...]) -> Tuple[Tuple[Any, ...], bool]:
+        """Feed one recalibration's selection; returns (spec to run, changed)."""
+        if self.current is None:
+            self.current = taus
+            return taus, True
+        if taus == self.current:
+            self._pending, self._streak = None, 0
+            return self.current, False
+        if taus == self._pending:
+            self._streak += 1
+        else:
+            self._pending, self._streak = taus, 1
+        slower = taus_cost(taus) > taus_cost(self.current)
+        need = self.drop_after if slower else self.raise_after
+        if self._streak >= need:
+            self.current = taus
+            self._pending, self._streak = None, 0
+            return taus, True
+        log.info("tau hysteresis: holding %s (pending %s, streak %d/%d)",
+                 self.current, taus, self._streak, need)
+        return self.current, False
+
+
+# Outcome-gate budget limit as a multiple of the bit-exactness bound 2*CLIP.
+# Calibrated by the round-5 tau A/B (tools/tau_ab.py, ROUND5_NOTES): training
+# outcomes (loss curves + final val acc, >=3 seeds, identical init/data) were
+# indistinguishable from the bit-exact gate's at measured budget/limit ratios
+# up to ~1.6x (forced-128) AND with the clip artificially tightened 4x
+# (budget/limit ~6.4x); the mechanism agrees (beyond-budget segments carry
+# decay < e^-160, below the fp32 subnormal floor ~e^-103 -- the distorted
+# ratios belong to numerically-dead states). 4.0 ships half the
+# demonstrated-safe amplification as standing margin.
+OUTCOME_LIMIT_FACTOR = 4.0
+
+
+def _stage_budget_limit(gate: str, margin: float) -> float:
+    if gate == "exact":
+        return margin * 2.0 * _CLIP
+    if gate == "outcome":
+        return margin * OUTCOME_LIMIT_FACTOR * 2.0 * _CLIP
+    raise ValueError(f"gate={gate!r}: expected 'exact' or 'outcome'")
+
+
 def select_scan_tau(model, params, batch_stats, images, *,
                     image_size: int = 224, margin: float = 0.9,
                     num_stages: Optional[int] = None,
-                    train_mode: bool = True) -> Tuple[Any, ...]:
+                    train_mode: bool = True,
+                    gate: str = "exact") -> Tuple[Any, ...]:
     """Pick the per-stage tau: largest candidate inside the clip budget,
     mixed per state dim (``_pick_stage_tau``) when only the high-|A| decay
     lanes hold a stage below a faster tau.
 
-    margin: fraction of the exactness bound 2*CLIP a segment may use; the
+    margin: fraction of the gate's budget limit a segment may use; the
     headroom absorbs drift between recalibrations (the CLI recalibrates every
     epoch and drops tau the moment a measurement exceeds the margin).
     train_mode: calibrate under training-mode (batch-stats) or serving-mode
     (running-average) BatchNorm -- pass False when gating inference forwards
     on a frozen checkpoint (the evaluate/demo CLIs use margin 0.8 there: the
     calibration batch is a sample, not the full stream).
+    gate: 'exact' bounds every segment by bit-exactness of the factored scan
+    (2*CLIP); 'outcome' bounds by measured TRAINING-OUTCOME safety
+    (OUTCOME_LIMIT_FACTOR x higher -- see the A/B evidence above), which is
+    the product bar. Beyond-limit measurements still drop tau either way
+    (the drift monitor); the exact gate remains available for bit-level
+    reproducibility studies.
     """
     budgets = measure_seg_budgets(model, params, batch_stats, images,
                                   train_mode=train_mode)
     if num_stages is None:
         num_stages = (len(model.depths) if hasattr(model, "depths")
                       else (max(budgets) + 1 if budgets else 0))
-    limit = margin * 2.0 * _CLIP
+    limit = _stage_budget_limit(gate, margin)
     seq_lens = _stage_seq_lens(image_size, num_stages=num_stages)
     taus = []
     for s in range(num_stages):

@@ -42,7 +42,7 @@ _SLOW = {
     "test_train_loss_decreases_and_eval",
     "test_vssm_seg_forward",
     "test_logit_parity_full_T_model", "test_backbone_feature_parity_small",
-    "test_training_trajectory_parity",
+    "test_training_trajectory_parity", "test_long_horizon_trajectory_parity",
     "test_tiny_forward_shapes_and_finite",
     "test_batchnorm_stats_update_in_train_mode",
     "test_remat_matches_no_remat", "test_scan_impls_agree_in_model",

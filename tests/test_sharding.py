@@ -211,12 +211,15 @@ def test_graft_entry_dryrun():
 
 
 def test_tp_involuntary_remat_bounded(capfd):
-    """VERDICT r3 #7: the TP (model-axis) path emits GSPMD "involuntary full
-    rematerialization" warnings on a bounded set of per-block backward
-    tensors (docs/DESIGN.md "Distribution"). Pin the bound so a sharding
-    regression that multiplies these resharding warts fails loudly instead
-    of sailing through the dryrun. Counted on a fresh (uncached) compile of
-    the full train step under the 4x2 DP x TP mesh."""
+    """VERDICT r3 #7 / r4 #6: the TP (model-axis) path must emit ZERO GSPMD
+    "involuntary full rematerialization" warnings (docs/DESIGN.md
+    "Distribution"). Round 5 removed them by REPLICATING conv kernels in the
+    partition rules: model-sharded conv activations met the scan's
+    batch-shard_mapped layout (and MaskedBatchNorm's batched stats) in the
+    backward, which GSPMD resolved by replicate-then-repartition; explicit
+    with_sharding_constraint hints at those seams measured WORSE (each
+    forced transition is itself flagged). Counted on a fresh (uncached)
+    compile of the full train step under the 4x2 DP x TP mesh."""
     import jax._src.config as jax_config  # noqa: F401
 
     state = _tiny_state(scan_impl="pallas")
@@ -239,10 +242,8 @@ def test_tp_involuntary_remat_bounded(capfd):
         jax.config.update("jax_enable_compilation_cache", old)
 
     count = err.count("Involuntary full rematerialization")
-    n_blocks = 2  # depths (1, 1)
-    # documented wart: a handful of backward-silu/select tensors per block
-    # on the non-recommended TP path; 4 per block is the measured envelope
-    assert count <= 4 * n_blocks, (
-        f"{count} involuntary SPMD rematerializations (bound "
-        f"{4 * n_blocks}); the TP partition rules or the scan's mesh-axis "
-        f"resharding regressed -- see docs/DESIGN.md 'Distribution'")
+    assert count == 0, (
+        f"{count} involuntary SPMD rematerializations (expected 0 since the "
+        f"round-5 conv-replication partition rule); the TP partition rules "
+        f"or the scan's mesh-axis resharding regressed -- see "
+        f"docs/DESIGN.md 'Distribution'")

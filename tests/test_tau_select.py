@@ -318,3 +318,31 @@ def test_nsplit_fused_matches_two_launch_in_model(monkeypatch):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-4, atol=1e-5),
         g_fused, g_two)
+
+
+def test_tau_hysteresis_debounces_changes():
+    """VERDICT r4 #5: one epoch of budget jitter around a threshold must not
+    thrash retraces. Raises need raise_after consecutive identical
+    proposals; drops switch per drop_after; different proposals reset the
+    streak; the first proposal is always adopted."""
+    from medmamba_tpu.train.tau_select import TauHysteresis, taus_cost
+
+    # cost ordering sanity: larger tau = faster; nsplit between its parts
+    assert taus_cost((128, 128)) < taus_cost((64, 64)) < taus_cost((16, 16))
+    ns = ("nsplit", tuple(range(16)), 8, 128, 64)
+    assert taus_cost((128,)) < taus_cost((ns,)) < taus_cost((64,))
+
+    h = TauHysteresis(drop_after=1, raise_after=2)
+    assert h.propose((64, 64)) == ((64, 64), True)      # initial: adopt
+    assert h.propose((64, 64)) == ((64, 64), False)     # steady
+    assert h.propose((128, 64)) == ((64, 64), False)    # raise, streak 1/2
+    assert h.propose((64, 64)) == ((64, 64), False)     # jitter: reset
+    assert h.propose((128, 64)) == ((64, 64), False)    # raise, streak 1/2
+    assert h.propose((128, 64)) == ((128, 64), True)    # raise, streak 2/2
+    assert h.propose((16, 64)) == ((16, 64), True)      # drop: immediate
+
+    h2 = TauHysteresis(drop_after=2, raise_after=2)
+    h2.propose((128, 128))
+    assert h2.propose((64, 128)) == ((128, 128), False)  # drop, streak 1/2
+    assert h2.propose((32, 128)) == ((128, 128), False)  # DIFFERENT drop: reset
+    assert h2.propose((32, 128)) == ((32, 128), True)    # streak 2/2
