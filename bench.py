@@ -23,6 +23,17 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 
+# Tau gate (round 5): 'outcome' (default) selects tau by measured
+# training-outcome safety and hardens the kernel clip to 20 (the fast
+# regime; the bit-exact gate's clip 80 is an fp32 overflow hazard on
+# beyond-budget segments -- measured NaN, ROUND5_NOTES session 2).
+# BENCH_TAU_GATE=exact restores the round-4 bit-exact behavior. The clip is
+# read once at pallas_scan import, so set it before any framework import.
+BENCH_TAU_GATE = os.environ.get("BENCH_TAU_GATE", "outcome")
+if BENCH_TAU_GATE == "outcome" or os.environ.get("BENCH_TAU", "auto") not in (
+        "auto", "off"):
+    os.environ.setdefault("MEDMAMBA_SCAN_CLIP", "20")
+
 A100_BASELINE_IMG_PER_SEC = 700.0
 
 
@@ -110,7 +121,8 @@ def main():
             jax.random.key(0), im, size=224, augment=False))(images)
         taus = select_scan_tau(
             model, state.params, state.batch_stats, x_cal,
-            train_mode=os.environ.get("BENCH_MODE") != "infer")
+            train_mode=os.environ.get("BENCH_MODE") != "infer",
+            gate=BENCH_TAU_GATE)
     elif bench_tau not in ("auto", "off"):
         taus = int(bench_tau)
     if taus is not None:
@@ -165,9 +177,13 @@ def main():
         # (epoch 1 is warmup: first-compile time is a one-off, not a
         # sustained cost).
         from medmamba_tpu.data.transforms import preprocess
-        from medmamba_tpu.train.tau_select import select_scan_tau
+        from medmamba_tpu.train.tau_select import TauHysteresis, select_scan_tau
 
         n_epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+        hysteresis = TauHysteresis(
+            drop_after=2 if BENCH_TAU_GATE == "outcome" else 1, raise_after=2)
+        if taus is not None:
+            hysteresis.propose(taus)  # seed with the initial selection
         calib = jax.jit(lambda im: preprocess(
             jax.random.key(0), im, size=224, augment=False))
 
@@ -193,9 +209,10 @@ def main():
             float(loss)
             t0 = time.perf_counter()
             new = select_scan_tau(model_, s.params, s.batch_stats,
-                                  calib(images))
+                                  calib(images), gate=BENCH_TAU_GATE)
+            new, changed = hysteresis.propose(new)
             recalib_s.append(time.perf_counter() - t0)
-            if new != cur:
+            if changed and new != cur:
                 retraces.append(_tau_json(new))
                 model_ = model_.clone(scan_tau=new)
                 s = s.replace(apply_fn=model_.apply)

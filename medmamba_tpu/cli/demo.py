@@ -100,7 +100,7 @@ def build_app(args):
             taus = select_scan_tau(holder["model"], variables["params"],
                                    variables["batch_stats"], x,
                                    image_size=args.image_size, margin=0.8,
-                                   train_mode=False)
+                                   train_mode=False, gate=args.tau_gate)
             holder["model"] = holder["model"].clone(scan_tau=taus)
             holder["forward"] = _make_forward(holder["model"])
             holder["calibrated"] = True
@@ -188,6 +188,12 @@ def parse_args(argv=None):
                    help="Scan segment length for the served forwards (same "
                         "dial as the train CLI). 'auto' calibrates on the "
                         "first request's image on TPU; a number forces it.")
+    p.add_argument("--tau_gate", type=str, default="outcome",
+                   choices=["outcome", "exact"],
+                   help="Budget gate for --scan_tau auto (round 5): "
+                        "'outcome' selects tau by measured outcome safety "
+                        "with the overflow-hardened clip 20 (fast); "
+                        "'exact' keeps the bit-exact bound (clip 80).")
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--host", type=str, default="127.0.0.1",
                    help="bind address (default loopback; pass 0.0.0.0 "
@@ -201,6 +207,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    # kernel clip is read once at import: harden it for outcome-gated or
+    # forced taus (fp32 overflow hazard on beyond-budget segments at clip
+    # 80 -- ROUND5_NOTES session 2); explicit MEDMAMBA_SCAN_CLIP env wins
+    if args.tau_gate == "outcome" or getattr(args, "scan_tau", "auto") != "auto":
+        os.environ.setdefault("MEDMAMBA_SCAN_CLIP", "20")
     from medmamba_tpu.ops.pallas_scan import guard_ablation_unset
     guard_ablation_unset()
 

@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def parse_args(argv=None):
@@ -35,6 +36,12 @@ def parse_args(argv=None):
                         "(same dial as the train CLI). 'auto' calibrates on "
                         "the first batch in eval mode on TPU; a number "
                         "forces it.")
+    p.add_argument("--tau_gate", type=str, default="outcome",
+                   choices=["outcome", "exact"],
+                   help="Budget gate for --scan_tau auto (round 5): "
+                        "'outcome' selects tau by measured outcome safety "
+                        "with the overflow-hardened clip 20 (fast); "
+                        "'exact' keeps the bit-exact bound (clip 80).")
     p.add_argument("--imagenet_preproc", action="store_true", default=False,
                    help="Resize(256)+CenterCrop(224)+ImageNet mean/std, the "
                         "recipe of the reference ConfusionMatrix driver "
@@ -45,6 +52,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    # kernel clip is read once at import: harden it for outcome-gated or
+    # forced taus (fp32 overflow hazard on beyond-budget segments at clip
+    # 80 -- ROUND5_NOTES session 2); explicit MEDMAMBA_SCAN_CLIP env wins
+    if args.tau_gate == "outcome" or getattr(args, "scan_tau", "auto") != "auto":
+        os.environ.setdefault("MEDMAMBA_SCAN_CLIP", "20")
     from medmamba_tpu.ops.pallas_scan import guard_ablation_unset
     guard_ablation_unset()
     import numpy as np
@@ -116,7 +128,8 @@ def main(argv=None):
                 taus = select_scan_tau(model, variables["params"],
                                        variables["batch_stats"], x0,
                                        image_size=args.image_size,
-                                       margin=0.8, train_mode=False)
+                                       margin=0.8, train_mode=False,
+                                   gate=args.tau_gate)
                 model = model.clone(scan_tau=taus)
                 print(f"scan tau (serving auto-selection): {taus}")
             forward = make_forward(model)

@@ -357,6 +357,18 @@ class SS2D(nn.Module):
         # MEDMAMBA_NSPLIT_FUSED=0 restores the two-launch split for A/B
         # measurement.
         tau_spec = self.scan_tau
+        if tau_spec is None and os.environ.get("MEDMAMBA_SCAN_TAU"):
+            # kernel-level forced tau (cli --scan_tau N sets both); resolve
+            # here so the packing clamp below applies uniformly
+            tau_spec = int(os.environ["MEDMAMBA_SCAN_TAU"])
+        if isinstance(tau_spec, int):
+            # Forced taus respect the short-L batch-packing cap (round 5,
+            # VERDICT r4 #4): tau=128 at the 7x7 stage would run one
+            # 49-lane element per 128-lane pitch -- 2.6x the HBM of the
+            # packed 64 pitch (it OOM'd forced-128 at batch 256) and
+            # measured SLOWER than packed-64 (ROUND4_NOTES session 3).
+            from medmamba_tpu.ops.pallas_scan import packing_cap
+            tau_spec = min(tau_spec, packing_cap(l))
         scan_perm = None
         if isinstance(tau_spec, tuple) and tau_spec and tau_spec[0] == "nsplit":
             _, perm, m, tau_hi, tau_lo = tau_spec

@@ -132,21 +132,12 @@ def _stage_seq_lens(image_size: int, patch_size: int = 4,
 
 
 def _packing_cap(seq_len: int, chunk: int = DEFAULT_CHUNK) -> int:
-    """Largest tau that keeps the short-L batch-packing density of tau=16.
+    """Largest tau keeping the tau=16 packing density -- delegates to the
+    kernel-side ``packing_cap`` (ops/pallas_scan.py), which round 5 also
+    applies to FORCED int taus in the model (vssm.py)."""
+    from medmamba_tpu.ops.pallas_scan import packing_cap
 
-    Packed stages lay ceil(L/tau)*tau lanes per batch element; a tau that
-    inflates that pitch trades packing density for segment length (measured
-    net-negative at stage-4 scale). Allowed: taus whose pitch equals the
-    tau=16 pitch. For unpacked stages (pitch >= chunk) there is no cap.
-    """
-    pitch16 = -(-seq_len // 16) * 16
-    if pitch16 >= chunk:
-        return chunk
-    cap = SAFE_FLOOR
-    for cand in SCAN_TAU_CANDIDATES:
-        if cand <= pitch16 and -(-seq_len // cand) * cand == pitch16:
-            cap = max(cap, cand)
-    return cap
+    return packing_cap(seq_len, chunk, SCAN_TAU_CANDIDATES)
 
 
 # Per-lane relative scan cost vs segment length, fit to the measured
@@ -277,23 +268,34 @@ class TauHysteresis:
         return self.current, False
 
 
-# Outcome-gate budget limit as a multiple of the bit-exactness bound 2*CLIP.
-# Calibrated by the round-5 tau A/B (tools/tau_ab.py, ROUND5_NOTES): training
-# outcomes (loss curves + final val acc, >=3 seeds, identical init/data) were
-# indistinguishable from the bit-exact gate's at measured budget/limit ratios
-# up to ~1.6x (forced-128) AND with the clip artificially tightened 4x
-# (budget/limit ~6.4x); the mechanism agrees (beyond-budget segments carry
-# decay < e^-160, below the fp32 subnormal floor ~e^-103 -- the distorted
-# ratios belong to numerically-dead states). 4.0 ships half the
-# demonstrated-safe amplification as standing margin.
-OUTCOME_LIMIT_FACTOR = 4.0
+# Outcome-gate budget limit, ABSOLUTE |A|*seg_sum(dt) scale. Calibrated by
+# the round-5 tau A/B (tools/tau_ab.py, ROUND5_NOTES session 2): with the
+# runtime clip hardened to 20 (see OUTCOME_SCAN_CLIP), trajectories at
+# measured budgets ~205 -- 5.7x past clip-20 bit-exactness -- matched the
+# bit-exact gate's within seed noise on every seed (loss curves + final val
+# acc, identical init/data); the distorted decay ratios belong to
+# numerically-dead states (decay < e^-40 at clip 20 before distortion can
+# engage). 400 keeps the drift monitor within ~2x of the measured-safe
+# point instead of open-ended.
+OUTCOME_BUDGET_LIMIT = 400.0
+
+# Runtime kernel clip for outcome-gated runs (MEDMAMBA_SCAN_CLIP): the A/B's
+# decisive finding is that the NaN hazard of beyond-budget taus is fp32
+# OVERFLOW, not distortion -- at the default clip 80 a beyond-budget segment
+# carries F = e^{+80} factors whose within-segment cumsums of F*dt*u*B can
+# overflow fp32 once activations grow (forced-128 seed 44 collapsed to NaN
+# loss at epoch 4; the SAME seed at clip 20 -- 4x MORE distortion -- trained
+# clean, as did all other clip-20 seeds). e^{3*20} is fp32-finite, so clip
+# 20 makes overflow impossible by construction while the added distortion
+# only touches decays below e^-40.
+OUTCOME_SCAN_CLIP = 20.0
 
 
 def _stage_budget_limit(gate: str, margin: float) -> float:
     if gate == "exact":
         return margin * 2.0 * _CLIP
     if gate == "outcome":
-        return margin * OUTCOME_LIMIT_FACTOR * 2.0 * _CLIP
+        return margin * OUTCOME_BUDGET_LIMIT
     raise ValueError(f"gate={gate!r}: expected 'exact' or 'outcome'")
 
 
@@ -315,11 +317,20 @@ def select_scan_tau(model, params, batch_stats, images, *,
     calibration batch is a sample, not the full stream).
     gate: 'exact' bounds every segment by bit-exactness of the factored scan
     (2*CLIP); 'outcome' bounds by measured TRAINING-OUTCOME safety
-    (OUTCOME_LIMIT_FACTOR x higher -- see the A/B evidence above), which is
-    the product bar. Beyond-limit measurements still drop tau either way
-    (the drift monitor); the exact gate remains available for bit-level
-    reproducibility studies.
+    (OUTCOME_BUDGET_LIMIT, the A/B evidence above) and REQUIRES the caller
+    to run the kernel at OUTCOME_SCAN_CLIP (the CLIs set MEDMAMBA_SCAN_CLIP
+    before importing the kernel; clip 80 with beyond-budget segments is an
+    fp32 overflow hazard -- the measured NaN). Beyond-limit measurements
+    still drop tau either way (the drift monitor); the exact gate remains
+    available for bit-level reproducibility studies.
     """
+    if gate == "outcome" and _CLIP > OUTCOME_SCAN_CLIP:
+        raise RuntimeError(
+            f"gate='outcome' requires the hardened kernel clip "
+            f"(MEDMAMBA_SCAN_CLIP={OUTCOME_SCAN_CLIP:g} set before the "
+            f"kernel module is imported); running beyond-budget taus at "
+            f"clip {_CLIP:g} is an fp32 overflow hazard (measured NaN, "
+            f"ROUND5_NOTES session 2).")
     budgets = measure_seg_budgets(model, params, batch_stats, images,
                                   train_mode=train_mode)
     if num_stages is None:

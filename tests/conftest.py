@@ -65,6 +65,20 @@ def pytest_configure(config):
         "markers", "slow: excluded from the quick tier (-m 'not slow')")
 
 
+@pytest.fixture(autouse=True)
+def _isolate_medmamba_env():
+    """CLI mains set MEDMAMBA_* knobs process-wide (scan tau / clip); tests
+    invoking them must not leak those into later tests -- MEDMAMBA_SCAN_TAU
+    is read live at trace time. (MEDMAMBA_SCAN_CLIP is import-time-only, so
+    the in-process kernel keeps the default clip either way.)"""
+    saved = {k: v for k, v in os.environ.items() if k.startswith("MEDMAMBA_")}
+    yield
+    for k in [k for k in os.environ if k.startswith("MEDMAMBA_")]:
+        if k not in saved:
+            del os.environ[k]
+    os.environ.update(saved)
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.originalname in _SLOW or item.name in _SLOW:

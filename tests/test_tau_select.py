@@ -346,3 +346,46 @@ def test_tau_hysteresis_debounces_changes():
     assert h2.propose((64, 128)) == ((128, 128), False)  # drop, streak 1/2
     assert h2.propose((32, 128)) == ((128, 128), False)  # DIFFERENT drop: reset
     assert h2.propose((32, 128)) == ((32, 128), True)    # streak 2/2
+
+
+def test_outcome_gate_limits_and_guard():
+    """Round-5 outcome gate: budget limit is the measured-outcome bound, not
+    bit-exactness; the trained-regime budgets (~205, ROUND5_NOTES) admit
+    tau=128 under it while the exact gate refuses; and selecting with
+    gate='outcome' at the default (overflow-hazard) clip 80 raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from medmamba_tpu.train import tau_select as ts
+
+    assert ts._stage_budget_limit("exact", 0.9) == _pytest.approx(
+        0.9 * 2 * ts._CLIP)
+    assert ts._stage_budget_limit("outcome", 0.9) == _pytest.approx(
+        0.9 * ts.OUTCOME_BUDGET_LIMIT)
+    with _pytest.raises(ValueError):
+        ts._stage_budget_limit("bogus", 0.9)
+
+    # the round-4/5 trained regime: per-(tau32,64,128) budgets ~[51,102,204]
+    b = np.tile(np.array([[51.0], [102.0], [204.0]]), (1, 16))
+    exact = ts._pick_stage_tau(b, cap=128,
+                               limit=ts._stage_budget_limit("exact", 0.9))
+    outcome = ts._pick_stage_tau(b, cap=128,
+                                 limit=ts._stage_budget_limit("outcome", 0.9))
+    assert outcome == 128                      # the fast regime
+    assert exact != 128                        # bit-exact gate refuses flat 128
+
+    # clip-consistency guard: outcome gate at clip 80 must refuse outright
+    if ts._CLIP > ts.OUTCOME_SCAN_CLIP:
+        with _pytest.raises(RuntimeError, match="MEDMAMBA_SCAN_CLIP"):
+            ts.select_scan_tau(None, None, None, None, gate="outcome")
+
+
+def test_forced_tau_respects_packing_cap():
+    """packing_cap clamps forced int taus at short-L stages (fixes the
+    forced-128 batch-256 HBM OOM, VERDICT r4 #4)."""
+    from medmamba_tpu.ops.pallas_scan import packing_cap
+
+    assert packing_cap(49) == 64      # 7x7 stage: pitch16 = 64
+    assert packing_cap(196) == 128    # 14x14: pitch16 208 >= chunk, no cap
+    assert packing_cap(3136) == 128   # unpacked
+    assert packing_cap(16) == 16      # single tiny element: floor

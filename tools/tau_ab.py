@@ -51,15 +51,30 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ARMS = {
-    "auto": {"scan_tau": "auto", "env": {}},
-    "f128": {"scan_tau": "128", "env": {}},
-    "clip40": {"scan_tau": "128", "env": {"MEDMAMBA_SCAN_CLIP": "40"}},
-    "clip20": {"scan_tau": "128", "env": {"MEDMAMBA_SCAN_CLIP": "20"}},
-    "clip5": {"scan_tau": "128", "env": {"MEDMAMBA_SCAN_CLIP": "5"}},
+    # NOTE post-finding arm semantics (see ROUND5_NOTES session 2): the
+    # round-5 CLI defaults --tau_gate outcome (clip 20); the original A/B
+    # arms pin their historical meanings explicitly.
+    "auto": {"args": ["--scan_tau", "auto", "--tau_gate", "exact"],
+             "env": {"MEDMAMBA_SCAN_CLIP": "80"}},       # r4 bit-exact gate
+    "f128": {"args": ["--scan_tau", "128"],
+             "env": {"MEDMAMBA_SCAN_CLIP": "80"}},       # NaN'd seed 44
+    "clip20": {"args": ["--scan_tau", "128"],
+               "env": {"MEDMAMBA_SCAN_CLIP": "20"}},
+    "clip5": {"args": ["--scan_tau", "128"],
+              "env": {"MEDMAMBA_SCAN_CLIP": "5"}},       # positive control
+    # the shipped round-5 default: outcome gate, hardened clip, hysteresis
+    "outcome": {"args": ["--scan_tau", "auto", "--tau_gate", "outcome"],
+                "env": {}},
+    # augmentation A/B (VERDICT r4 #7): exact per-pixel rotate vs the default
+    # Pallas rotate kernel (<=~4% of pixels may pick a horizontally adjacent
+    # source). Same gate as "outcome" so the only difference is the rotate.
+    "rotexact": {"args": ["--scan_tau", "auto", "--tau_gate", "outcome",
+                          "--exact_rotate"],
+                 "env": {}},
 }
 
 EPOCH_RE = re.compile(
-    r"\[Epoch (\d+)/\d+\] Train Loss: ([\d.]+) \| "
+    r"\[Epoch (\d+)/\d+\] Train Loss: ([\d.]+|nan|inf) \| "
     r"Val Accuracy: ([\d.]+) \| ([\d.]+) img/s")
 TAU_RE = re.compile(r"scan tau selection: .* -> (.*)$", re.M)
 
@@ -103,7 +118,7 @@ def run_one(arm: str, seed: int, epochs: int, data_dir: str, work: str,
            "--train_dir", data_dir, "--val_dir", data_dir,
            "--epochs", str(epochs), "--batch_size", str(batch_size),
            "--seed", str(seed), "--augmentation", "--log_every", "0",
-           "--scan_tau", cfg["scan_tau"], "--save_dir", save]
+           "--save_dir", save] + cfg["args"]
     t0 = time.time()
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env,
                        timeout=7200)
@@ -115,9 +130,13 @@ def run_one(arm: str, seed: int, epochs: int, data_dir: str, work: str,
         print(f"  !! {arm} s{seed} FAILED rc={r.returncode} (log: {logp})")
         return []
     text = r.stdout + r.stderr
-    recs = []
+    recs, seen = [], set()
     for m in EPOCH_RE.finditer(text):
-        recs.append({"arm": arm, "seed": seed, "epoch": int(m.group(1)),
+        ep = int(m.group(1))
+        if ep in seen:  # epoch line appears on stdout AND the log stream
+            continue
+        seen.add(ep)
+        recs.append({"arm": arm, "seed": seed, "epoch": ep,
                      "loss": float(m.group(2)), "val_acc": float(m.group(3)),
                      "img_s": float(m.group(4))})
     taus = TAU_RE.findall(text)
