@@ -22,14 +22,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-# The representative round-4 trained-budget auto spec (stages 0-2 mixed
-# nsplit 128x8/64, stage 3 packed 64) -- what a real training run settles on.
-AUTO_SPEC = (("nsplit", tuple(range(16)), 8, 128, 64),
-             ("nsplit", tuple(range(16)), 8, 128, 64),
-             ("nsplit", tuple(range(16)), 8, 128, 64), 64)
+# Named tau specs. NOTE the kernel clip is read at import
+# (MEDMAMBA_SCAN_CLIP): run "outcome" at clip 20 and the clip-80 specs in a
+# separate process to match the executables production actually runs.
+SPECS = {
+    # round-5 outcome-gate selection at trained magnitudes (clip 20)
+    "outcome": (128, 128, 128, 64),
+    # round-4 exact-gate trained-regime selection (clip 80)
+    "r4auto": (("nsplit", tuple(range(16)), 8, 128, 64),
+               ("nsplit", tuple(range(16)), 8, 128, 64),
+               ("nsplit", tuple(range(16)), 8, 128, 64), 64),
+    # the round-4 forced-128 config incl. UNPACKED stage 3 (the b256 OOM;
+    # a tuple bypasses the round-5 packing clamp on purpose -- this row IS
+    # the diagnosis)
+    "f128raw": (128, 128, 128, 128),
+}
 
 
 def analyze(batch: int, tau, image_size: int = 224, size: str = "T"):
+    if isinstance(tau, str):
+        tau = SPECS[tau]
     import jax
     import numpy as np
 
@@ -37,8 +49,7 @@ def analyze(batch: int, tau, image_size: int = 224, size: str = "T"):
     from medmamba_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
     from medmamba_tpu.train.trainer import init_state, make_optimizer, train_step
 
-    model = create_model(size, 9, scan_impl="auto",
-                         scan_tau=tau if tau != "auto" else AUTO_SPEC)
+    model = create_model(size, 9, scan_impl="auto", scan_tau=tau)
     tx = make_optimizer(1e-3, npz_mode=True)
     state = init_state(model, jax.random.key(0), tx,
                        input_shape=(1, image_size, image_size, 3))
@@ -72,7 +83,7 @@ def analyze(batch: int, tau, image_size: int = 224, size: str = "T"):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="64,128,256")
-    p.add_argument("--taus", default="auto,128")
+    p.add_argument("--taus", default="outcome")
     p.add_argument("--size", default="T")
     p.add_argument("--out", default="docs/experiments/hbm_ledger_r05.jsonl")
     args = p.parse_args(argv)
@@ -85,7 +96,7 @@ def main(argv=None):
         for tau in args.taus.split(","):
             for b in (int(x) for x in args.batches.split(",")):
                 try:
-                    rec = analyze(b, tau if tau == "auto" else int(tau),
+                    rec = analyze(b, tau if tau in SPECS else int(tau),
                                   size=args.size)
                 except Exception as e:  # record failures too (OOM compiles)
                     rec = {"size": args.size, "batch": b, "tau": tau,
