@@ -39,11 +39,25 @@ def parse_args(argv=None):
     p.add_argument("--no_preprocess", action="store_true", default=False,
                    help="artifact consumes preprocessed float32 instead of "
                         "raw uint8")
+    p.add_argument("--scan_tau", type=str, default="16",
+                   choices=["16", "32", "64", "128"],
+                   help="scan segment length baked into a --scan_impl pallas "
+                        "artifact (clamped per stage by the packing cap; "
+                        "trained checkpoints typically serve at 128 for "
+                        "~2x scan speed vs the 16 floor -- the kernel clip "
+                        "is hardened to 20 for tau > 16, the "
+                        "outcome-validated regime). No effect on assoc "
+                        "artifacts.")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    import os
+    if args.scan_tau != "16":
+        # beyond-budget segments at clip 80 are an fp32 overflow hazard
+        # (ROUND5_NOTES session 2); harden before the kernel import
+        os.environ.setdefault("MEDMAMBA_SCAN_CLIP", "20")
     from medmamba_tpu.ops.pallas_scan import guard_ablation_unset
     guard_ablation_unset()
     platforms = tuple(s.strip() for s in args.platforms.split(","))
@@ -60,7 +74,9 @@ def main(argv=None):
     num_classes = args.num_classes or meta.get("num_classes")
     if not num_classes:
         raise SystemExit("--num_classes required (not in checkpoint meta)")
-    model = create_model(args.medmb_size, num_classes)
+    model = create_model(args.medmb_size, num_classes,
+                         scan_tau=int(args.scan_tau)
+                         if args.scan_impl == "pallas" else None)
     variables = {"params": tree["params"],
                  "batch_stats": tree.get("batch_stats", {})}
     blob = export_forward(

@@ -94,10 +94,15 @@ def save_checkpoint(path: str, state, *, epoch: int, best_acc: float,
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(os.path.join(tmp, "state"), payload)
     with open(_meta_path(tmp), "w") as f:
+        # class_indices is name->idx (NPZ mode) or idx->name (ImageFolder
+        # mode, train.py:142-146 layout) -- keep values as-is; coercing them
+        # with int() crashed every ImageFolder best-checkpoint save (round-5
+        # ImageFolder A/B finding, regression-pinned in tests/test_train.py)
         json.dump({"epoch": int(epoch), "best_acc": float(best_acc),
                    "num_classes": int(num_classes),
-                   "class_indices": {str(k): int(v)
-                                      for k, v in class_indices.items()}}, f,
+                   "class_indices": {str(k): (v if isinstance(v, str)
+                                              else int(v))
+                                     for k, v in class_indices.items()}}, f,
                   indent=4)
     _PENDING_PROMOTES.append((tmp, path))
     if not async_save:

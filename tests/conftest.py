@@ -40,6 +40,7 @@ _SLOW = {
     "test_pallas_kernel_shards_batch_over_model_axis_too",
     "test_training_determinism", "test_checkpoint_roundtrip",
     "test_train_loss_decreases_and_eval",
+    "test_train_cli_imagefolder_end_to_end",
     "test_vssm_seg_forward",
     "test_logit_parity_full_T_model", "test_backbone_feature_parity_small",
     "test_training_trajectory_parity", "test_long_horizon_trajectory_parity",

@@ -69,3 +69,34 @@ def test_serving_scan_tau_flags():
     assert d.scan_tau == "auto"
     d = demo_args(["--checkpoint_path", "/c", "--scan_tau", "64"])
     assert d.scan_tau == "64"
+
+
+def test_train_cli_imagefolder_end_to_end(tmp_path):
+    """Full train CLI run in ImageFolder mode (the round-5 A/B surfaced an
+    ImageFolder-only best-checkpoint crash that NPZ-only e2e coverage
+    missed): tiny PNG class tree, 1 epoch, seq impl on CPU, then the saved
+    best checkpoint restores with the idx->name class_indices intact."""
+    from PIL import Image
+
+    from medmamba_tpu.cli.train import main as train_main
+    from medmamba_tpu.train.checkpoint import restore_params
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for c in ("class_a", "class_b"):
+            d = tmp_path / split / c
+            d.mkdir(parents=True)
+            for i in range(8):
+                arr = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+    save = tmp_path / "run"
+    train_main(["--train_dir", str(tmp_path / "train"),
+                "--val_dir", str(tmp_path / "val"),
+                "--epochs", "1", "--batch_size", "8", "--image_size", "16",
+                "--scan_impl", "seq", "--log_every", "0",
+                "--save_dir", str(save)])
+    best = [p for p in save.iterdir() if p.name.endswith("_best")]
+    assert best, list(save.iterdir())
+    _, meta = restore_params(str(best[0]))
+    assert meta["class_indices"] == {"0": "class_a", "1": "class_b"}

@@ -161,3 +161,27 @@ def test_training_determinism(tmp_path):
         return losses
 
     assert run() == run()
+
+
+def test_checkpoint_saves_imagefolder_class_indices(tmp_path):
+    """ImageFolder mode stores class_indices as idx -> NAME (the reference's
+    train.py:142-146 layout); save_checkpoint used to int()-coerce the values
+    and crash every ImageFolder best-checkpoint save (round-5 A/B finding)."""
+    from medmamba_tpu.train import checkpoint as ckpt
+
+    model = _tiny_model()
+    tx = make_optimizer(1e-3, npz_mode=False)
+    state = init_state(model, jax.random.key(0), tx,
+                       input_shape=(1, 16, 16, 3))
+    path = str(tmp_path / "ckpt_if")
+    ckpt.save_checkpoint(path, state, epoch=1, best_acc=0.5, num_classes=2,
+                         class_indices={0: "class_a", 1: "class_b"},
+                         async_save=False)
+    _, meta = ckpt.restore_params(path)
+    assert meta["class_indices"] == {"0": "class_a", "1": "class_b"}
+    # NPZ-style name -> idx still round-trips with int values
+    ckpt.save_checkpoint(path, state, epoch=1, best_acc=0.5, num_classes=2,
+                         class_indices={"class_a": 0, "class_b": 1},
+                         async_save=False)
+    _, meta = ckpt.restore_params(path)
+    assert meta["class_indices"] == {"class_a": 0, "class_b": 1}

@@ -49,7 +49,13 @@ def analyze(batch: int, tau, image_size: int = 224, size: str = "T"):
     from medmamba_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
     from medmamba_tpu.train.trainer import init_state, make_optimizer, train_step
 
-    model = create_model(size, 9, scan_impl="auto", scan_tau=tau)
+    import jax.numpy as jnp
+
+    # bf16 blocks + fp32 scan core: the production/bench configuration --
+    # also what the compile cache holds (a dtype mismatch here recompiles
+    # fresh, and b256-sized fresh compiles crash the tunnel's helper)
+    model = create_model(size, 9, scan_impl="auto", scan_tau=tau,
+                         dtype=jnp.bfloat16)
     tx = make_optimizer(1e-3, npz_mode=True)
     state = init_state(model, jax.random.key(0), tx,
                        input_shape=(1, image_size, image_size, 3))
@@ -58,11 +64,27 @@ def analyze(batch: int, tau, image_size: int = 224, size: str = "T"):
     imgs, lbls = shard_batch(mesh, np.zeros((batch, image_size, image_size, 3),
                                             np.uint8),
                              np.zeros((batch,), np.int64))
+    gib = 1024 ** 3
+    if os.environ.get("HBM_LEDGER_RUNSTATS"):
+        # Execute ONE step through the normal jit path (persistent-cache
+        # eligible -- AOT .lower().compile() bypasses that cache and large
+        # configs crash the tunnel's compile helper) and read the device
+        # allocator's live/peak counters. Includes allocator overhead: the
+        # practical budget number.
+        new_state, loss = train_step(state, imgs, lbls, jax.random.key(1),
+                                     augment=True, image_size=image_size)
+        jax.block_until_ready(loss)
+        ms = jax.local_devices()[0].memory_stats() or {}
+        return {
+            "size": size, "batch": batch, "tau": str(tau), "mode": "runstats",
+            "image_size": image_size, "loss": float(loss),
+            "peak_gib": round(ms.get("peak_bytes_in_use", 0) / gib, 3),
+            "limit_gib": round(ms.get("bytes_limit", 0) / gib, 3),
+        }
     lowered = train_step.lower(state, imgs, lbls, jax.random.key(1),
                                augment=True, image_size=image_size)
     compiled = lowered.compile()
     ma = compiled.memory_analysis()
-    gib = 1024 ** 3
     rec = {
         "size": size, "batch": batch, "tau": str(tau),
         "image_size": image_size,

@@ -71,6 +71,16 @@ ARMS = {
     "rotexact": {"args": ["--scan_tau", "auto", "--tau_gate", "outcome",
                           "--exact_rotate"],
                  "env": {}},
+    # ImageFolder-mode rotate-order A/B (VERDICT r4 #7, second deviation):
+    # default decodes at image_size (rotate AFTER resize); load_size=28
+    # decodes at native resolution (rotate-then-resize, the reference's
+    # train.py:90-96 order). Run with --data_dir pointing at a PNG class
+    # tree (make_imagefolder below).
+    "ifold_default": {"args": ["--scan_tau", "auto", "--tau_gate", "outcome",
+                               "--lr", "1e-3"], "env": {}},
+    "ifold_native": {"args": ["--scan_tau", "auto", "--tau_gate", "outcome",
+                              "--lr", "1e-3", "--load_size", "28"],
+                     "env": {}},
 }
 
 EPOCH_RE = re.compile(
@@ -107,6 +117,33 @@ def make_dataset(root: str, n_train: int, n_val: int, *, classes: int = 9,
     print(f"dataset at {root}: {n_train} train / {n_val} val, {classes} classes")
 
 
+def make_imagefolder(root: str, n_train: int, n_val: int, *,
+                     classes: int = 9, side: int = 28, seed: int = 7):
+    """Same grating task as make_dataset, saved as PNG class-folder trees
+    (train/ and val/ under root) for the ImageFolder/native-loader path."""
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:side, 0:side] / side
+    for split, n in [("train", n_train), ("val", n_val)]:
+        labels = rng.integers(0, classes, size=n)
+        for c in range(classes):
+            os.makedirs(os.path.join(root, split, f"class_{c}"), exist_ok=True)
+        freq = 1 + labels // 3
+        theta = (labels % 3) * np.pi / 3
+        phase = rng.uniform(0, 2 * np.pi, size=n)
+        cx = np.cos(theta)[:, None, None]
+        cy = np.sin(theta)[:, None, None]
+        grating = np.sin(2 * np.pi * freq[:, None, None]
+                         * (cx * xx[None] + cy * yy[None])
+                         + phase[:, None, None])
+        img = 0.5 + 0.2 * grating[..., None]             + 0.9 * rng.standard_normal((n, side, side, 3)) * 0.25
+        img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        for i in range(n):
+            Image.fromarray(img[i]).save(os.path.join(
+                root, split, f"class_{labels[i]}", f"{i:05d}.png"))
+    print(f"imagefolder at {root}: {n_train} train / {n_val} val")
+
+
 def run_one(arm: str, seed: int, epochs: int, data_dir: str, work: str,
             batch_size: int, log_dir: str):
     cfg = ARMS[arm]
@@ -114,8 +151,14 @@ def run_one(arm: str, seed: int, epochs: int, data_dir: str, work: str,
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
     env.update(cfg["env"])
     save = os.path.join(work, f"{arm}_s{seed}")
+    # ImageFolder trees carry train/ and val/ subdirs; NPZ dirs hold both
+    # splits as {split}_*.npy in one directory
+    tdir, vdir = data_dir, data_dir
+    if os.path.isdir(os.path.join(data_dir, "train")):
+        tdir = os.path.join(data_dir, "train")
+        vdir = os.path.join(data_dir, "val")
     cmd = [sys.executable, "-m", "medmamba_tpu.cli.train",
-           "--train_dir", data_dir, "--val_dir", data_dir,
+           "--train_dir", tdir, "--val_dir", vdir,
            "--epochs", str(epochs), "--batch_size", str(batch_size),
            "--seed", str(seed), "--augmentation", "--log_every", "0",
            "--save_dir", save] + cfg["args"]
@@ -199,6 +242,9 @@ def main(argv=None):
     p.add_argument("--data_dir", default="/tmp/tau_ab/data")
     p.add_argument("--work", default="/tmp/tau_ab")
     p.add_argument("--out", default="docs/experiments/tau_ab_r05.jsonl")
+    p.add_argument("--imagefolder", action="store_true",
+                   help="generate/use a PNG class-folder tree (the ifold_* "
+                        "arms) instead of NPZ")
     p.add_argument("--resume", action="store_true",
                    help="append to --out and skip (arm, seed) pairs already "
                         "recorded there")
@@ -212,7 +258,10 @@ def main(argv=None):
     os.makedirs(args.work, exist_ok=True)
     log_dir = os.path.join(args.work, "logs")
     os.makedirs(log_dir, exist_ok=True)
-    if not os.path.exists(os.path.join(args.data_dir, "train_images.npy")):
+    if args.imagefolder:
+        if not os.path.isdir(os.path.join(args.data_dir, "train")):
+            make_imagefolder(args.data_dir, args.n_train, args.n_val)
+    elif not os.path.exists(os.path.join(args.data_dir, "train_images.npy")):
         make_dataset(args.data_dir, args.n_train, args.n_val)
 
     outp = os.path.join(REPO, args.out)
