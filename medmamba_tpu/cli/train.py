@@ -46,9 +46,13 @@ def parse_args(argv=None):
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--load_size", type=int, default=None,
                    help="ImageFolder decode resolution (default: image_size). "
-                        "Larger values run flip/rotate augmentation closer to "
-                        "native resolution, like the reference's transform "
-                        "order (train.py:90-96).")
+                        "Set to the source resolution to run flip/rotate at "
+                        "native size, the reference's transform order "
+                        "(train.py:90-96). MEASURED (round-5 A/B, 2 seeds, "
+                        "identical init/data, ROUND5_NOTES): final-acc "
+                        "deltas +0.022/-0.012 vs the default order -- "
+                        "within seed noise -- and decoding small sources "
+                        "at native size was ~4.6x faster host-side.")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--scan_impl", type=str, default="auto",
@@ -86,8 +90,11 @@ def parse_args(argv=None):
                    help="Rotation augmentation via the exact per-pixel gather "
                         "instead of the fast Pallas kernel. The kernel lets "
                         "<=~4%% of pixels pick a horizontally adjacent source "
-                        "pixel (accuracy impact unmeasured; eval is never "
-                        "affected) but is ~10x faster and compiles in seconds "
+                        "pixel; MEASURED accuracy impact: none (round-5 A/B, "
+                        "2 seeds, identical init/data: exact-rotate final "
+                        "accs -0.016/-0.015 vs the kernel -- within seed "
+                        "noise; ROUND5_NOTES). Eval is never affected. The "
+                        "kernel is ~10x faster and compiles in seconds "
                         "(ops/rotate_pallas.py).")
     p.add_argument("--use_checkpoint", action="store_true", default=False,
                    help="Activation rematerialization per block (jax.checkpoint).")

@@ -13,7 +13,10 @@ MedMNIST), so flip/rotate run at native resolution exactly like the reference.
 In ImageFolder mode images are decoded at ``load_size`` (default = the target
 size) for static batch shapes, so rotation happens post-decode-resize -- a
 deliberate deviation from the reference's rotate-at-native-then-resize order
-(train.py:90-96); pass a larger ``--load_size`` to rotate closer to native
+(train.py:90-96). MEASURED (round-5 ImageFolder A/B, 2 seeds, identical
+init/data): order deltas +0.022/-0.012 final acc -- within seed noise --
+and native-size decode of small sources is ~4.6x faster host-side
+(ROUND5_NOTES); pass ``--load_size`` to rotate closer to native
 resolution at the cost of host decode bandwidth.
 """
 from __future__ import annotations
