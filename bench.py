@@ -98,13 +98,16 @@ def main():
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8)
     labels = rng.integers(0, 9, (batch,), dtype=np.int64)
-    if os.environ.get("BENCH_MODE") == "sustained":
+    if (os.environ.get("BENCH_MODE") == "sustained"
+            and os.environ.get("BENCH_SUSTAINED_LABELS") != "random"):
         # a LEARNABLE task: labels = image-mean intensity buckets. Training
         # 1500 steps on random labels is degenerate -- the dt magnitudes
         # blow past every tau budget and the auto guard (correctly) walks
         # the spec down to the slow always-safe floor, so the "sustained"
         # number would measure an adversarial workload, not training.
         # Real-data budgets are near-static (ROUND3_NOTES session 6).
+        # BENCH_SUSTAINED_LABELS=random keeps the degenerate workload: the
+        # stress test for the gate + hysteresis (round-4 worst case 125).
         m = images.reshape(batch, -1).mean(axis=1)
         labels = np.digitize(m, np.quantile(m, np.linspace(0, 1, 10)[1:-1])
                              ).astype(np.int64)
